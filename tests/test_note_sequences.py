@@ -1,0 +1,294 @@
+"""Tests for the note-sequence helpers and the decode state machine."""
+
+import numpy as np
+import pytest
+
+from mr_mt3_tpu.codec import VocabularyConfig, build_codec
+from mr_mt3_tpu.codec import note_sequences as ns_lib
+from mr_mt3_tpu.codec import rle
+from mr_mt3_tpu.codec.combine import event_predictions_to_ns
+from mr_mt3_tpu.codec.events import Event
+
+
+@pytest.fixture(scope='module')
+def codec():
+    return build_codec(VocabularyConfig(num_velocity_bins=1))
+
+
+def _make_ns(note_specs):
+    ns = ns_lib.NoteSequence()
+    for (start, end, pitch, vel, program, is_drum) in note_specs:
+        ns.add_note(start_time=start, end_time=end, pitch=pitch, velocity=vel,
+                    program=program, is_drum=is_drum)
+        ns.total_time = max(ns.total_time, end)
+    return ns
+
+
+class TestHelpers:
+    def test_trim_overlapping_notes(self):
+        ns = _make_ns([
+            (0.0, 1.0, 60, 100, 0, False),
+            (0.5, 1.5, 60, 100, 0, False),   # same channel: trims the first
+            (0.5, 1.5, 62, 100, 0, False),   # different pitch: untouched
+            (0.5, 0.5, 64, 100, 0, False),   # zero length: dropped
+        ])
+        trimmed = ns_lib.trim_overlapping_notes(ns)
+        by_pitch = {n.pitch: n for n in trimmed.notes if n.pitch != 60}
+        firsts = sorted([n for n in trimmed.notes if n.pitch == 60],
+                        key=lambda n: n.start_time)
+        assert firsts[0].end_time == 0.5
+        assert firsts[1].end_time == 1.5
+        assert 62 in by_pitch and 64 not in by_pitch
+
+    def test_assign_instruments(self):
+        ns = _make_ns([
+            (0.0, 1.0, 60, 100, 5, False),
+            (0.0, 1.0, 40, 100, 3, False),
+            (0.0, 1.0, 36, 100, 0, True),
+            (1.0, 2.0, 61, 100, 5, False),
+        ])
+        ns_lib.assign_instruments(ns)
+        assert ns.notes[0].instrument == 0
+        assert ns.notes[1].instrument == 1
+        assert ns.notes[2].instrument == 9  # drums
+        assert ns.notes[3].instrument == 0  # same program as first
+
+    def test_assign_instruments_skips_nine(self):
+        ns = _make_ns([(0.0, 1.0, 50 + p, 100, p, False) for p in range(11)])
+        ns_lib.assign_instruments(ns)
+        instruments = [n.instrument for n in ns.notes]
+        assert instruments == [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11]
+
+    def test_validate(self):
+        with pytest.raises(ValueError):
+            ns_lib.validate_note_sequence(
+                _make_ns([(1.0, 0.5, 60, 100, 0, False)]))
+        with pytest.raises(ValueError):
+            ns_lib.validate_note_sequence(
+                _make_ns([(0.0, 0.5, 60, 0, 0, False)]))
+
+    def test_onsets_offsets_programs_ordering(self):
+        ns = _make_ns([
+            (0.0, 1.0, 60, 100, 5, False),
+            (0.2, 0.8, 36, 90, 0, True),
+        ])
+        times, values = (
+            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(ns))
+        # one offset (non-drum only) + two onsets
+        assert len(times) == 3
+        assert values[0].velocity == 0 and values[0].pitch == 60
+        drum_values = [v for v in values if v.is_drum]
+        assert len(drum_values) == 1 and drum_values[0].velocity == 90
+
+
+class TestEventDataToEvents:
+    def test_full_triple(self, codec):
+        state = ns_lib.NoteEncodingState()
+        events = ns_lib.note_event_data_to_events(
+            state, ns_lib.NoteEventData(pitch=60, velocity=100, program=5),
+            codec)
+        assert events == [Event('program', 5), Event('velocity', 1),
+                          Event('pitch', 60)]
+        assert state.active_pitches[(60, 5)] == 1
+
+    def test_drum(self, codec):
+        events = ns_lib.note_event_data_to_events(
+            None, ns_lib.NoteEventData(pitch=36, velocity=90, program=0,
+                                       is_drum=True), codec)
+        assert events == [Event('velocity', 1), Event('drum', 36)]
+
+    def test_offset(self, codec):
+        state = ns_lib.NoteEncodingState()
+        events = ns_lib.note_event_data_to_events(
+            state, ns_lib.NoteEventData(pitch=60, velocity=0, program=5),
+            codec)
+        assert events == [Event('program', 5), Event('velocity', 0),
+                          Event('pitch', 60)]
+        assert state.active_pitches[(60, 5)] == 0
+
+    def test_state_to_events_order(self):
+        state = ns_lib.NoteEncodingState()
+        state.active_pitches = {(60, 5): 1, (40, 3): 1, (70, 3): 1,
+                                (50, 5): 0}
+        events = ns_lib.note_encoding_state_to_events(state)
+        # sorted by (program, pitch); zero-velocity (inactive) pairs dropped
+        assert events == [Event('program', 3), Event('pitch', 40),
+                          Event('program', 3), Event('pitch', 70),
+                          Event('program', 5), Event('pitch', 60),
+                          Event('tie', 0)]
+
+
+class TestDecodingStateMachine:
+    def test_onset_offset_note(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('program', 5), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 1), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('pitch', 60), codec)
+        ns_lib.decode_note_event(state, 0.5, Event('velocity', 0), codec)
+        ns_lib.decode_note_event(state, 0.5, Event('pitch', 60), codec)
+        result = ns_lib.flush_note_decoding_state(state)
+        assert len(result.notes) == 1
+        n = result.notes[0]
+        assert (n.start_time, n.end_time, n.pitch, n.program) == (
+            0.0, 0.5, 60, 5)
+        assert n.velocity == 127  # bin 1 of 1 -> 127
+
+    def test_time_regression_raises(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 1.0, Event('velocity', 1), codec)
+        with pytest.raises(ValueError):
+            ns_lib.decode_note_event(state, 0.5, Event('pitch', 60), codec)
+
+    def test_offset_for_inactive_raises(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 0), codec)
+        with pytest.raises(ValueError):
+            ns_lib.decode_note_event(state, 0.0, Event('pitch', 60), codec)
+
+    def test_double_onset_closes_previous(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 1), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('pitch', 60), codec)
+        ns_lib.decode_note_event(state, 0.4, Event('pitch', 60), codec)
+        result = ns_lib.flush_note_decoding_state(state)
+        assert len(result.notes) == 2
+        assert result.notes[0].end_time == pytest.approx(0.4)
+
+    def test_drum_fixed_duration(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 1), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('drum', 36), codec)
+        result = ns_lib.flush_note_decoding_state(state)
+        assert result.notes[0].is_drum
+        assert result.notes[0].end_time == pytest.approx(0.01)
+
+    def test_drum_zero_velocity_raises(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 0), codec)
+        with pytest.raises(ValueError):
+            ns_lib.decode_note_event(state, 0.0, Event('drum', 36), codec)
+
+    def test_tie_section(self, codec):
+        state = ns_lib.NoteDecodingState()
+        # segment 1: onset at 0.0, no offset
+        ns_lib.decode_note_event(state, 0.0, Event('program', 5), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 1), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('pitch', 60), codec)
+        # segment 2 declares the note tied, then ends it at 2.0
+        ns_lib.begin_tied_pitches_section(state)
+        ns_lib.decode_note_event(state, 1.0, Event('program', 5), codec)
+        ns_lib.decode_note_event(state, 1.0, Event('pitch', 60), codec)
+        ns_lib.decode_note_event(state, 1.0, Event('tie', 0), codec)
+        ns_lib.decode_note_event(state, 2.0, Event('velocity', 0), codec)
+        ns_lib.decode_note_event(state, 2.0, Event('pitch', 60), codec)
+        result = ns_lib.flush_note_decoding_state(state)
+        assert len(result.notes) == 1
+        assert result.notes[0].end_time == pytest.approx(2.0)
+
+    def test_untied_notes_end_at_tie(self, codec):
+        state = ns_lib.NoteDecodingState()
+        ns_lib.decode_note_event(state, 0.0, Event('velocity', 1), codec)
+        ns_lib.decode_note_event(state, 0.0, Event('pitch', 60), codec)
+        # next segment does not re-declare the note -> it ends at tie time
+        ns_lib.begin_tied_pitches_section(state)
+        ns_lib.decode_note_event(state, 1.5, Event('tie', 0), codec)
+        result = ns_lib.flush_note_decoding_state(state)
+        assert len(result.notes) == 1
+        assert result.notes[0].end_time == pytest.approx(1.5)
+
+    def test_tie_without_section_raises(self, codec):
+        state = ns_lib.NoteDecodingState()
+        with pytest.raises(ValueError):
+            ns_lib.decode_note_event(state, 0.0, Event('tie', 0), codec)
+
+
+class TestEndToEndRoundTrip:
+    """Encode a NoteSequence to tokens, decode back, compare notes."""
+
+    def test_roundtrip_with_ties(self, codec):
+        src = _make_ns([
+            (0.00, 0.50, 60, 100, 5, False),
+            (0.10, 0.60, 64, 100, 5, False),
+            (0.25, 0.75, 40, 100, 33, False),
+            (0.30, 0.31, 36, 100, 0, True),
+        ])
+        ns_lib.assign_instruments(src)
+        frame_times = np.arange(100) * 0.008  # 0.8 s of 125 fps frames
+
+        times, values = (
+            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
+        events, starts, ends, state_events, state_idx = (
+            rle.encode_and_index_events(
+                state=ns_lib.NoteEncodingState(),
+                event_times=times, event_values=values,
+                encode_event_fn=ns_lib.note_event_data_to_events,
+                codec=codec, frame_times=frame_times,
+                encoding_state_to_events_fn=(
+                    ns_lib.note_encoding_state_to_events)))
+        # a whole-song segment starts with an empty tie section (just 'tie')
+        tokens = rle.run_length_encode_shifts(
+            np.concatenate([[1131], events]), codec)
+
+        pred = [{'est_tokens': tokens, 'start_time': 0.0, 'raw_inputs': []}]
+        result = event_predictions_to_ns(
+            pred, codec, ns_lib.NoteEncodingWithTiesSpec)
+        assert result['est_invalid_events'] == 0
+        decoded = result['est_ns']
+        assert len(decoded.notes) == 4
+
+        def key(n):
+            return (n.is_drum, n.program, n.pitch, round(n.start_time, 2))
+
+        src_keys = sorted(key(n) for n in src.notes)
+        dec_keys = sorted(key(n) for n in decoded.notes)
+        assert src_keys == dec_keys
+        # non-drum offsets survive the round trip at step resolution
+        for n in decoded.notes:
+            if not n.is_drum:
+                matching = [m for m in src.notes
+                            if key(m) == key(n)]
+                assert matching[0].end_time == pytest.approx(n.end_time,
+                                                             abs=0.005)
+
+    def test_two_segment_roundtrip(self, codec):
+        """A note spanning a segment boundary survives via the tie section."""
+        src = _make_ns([
+            (0.00, 1.50, 60, 100, 5, False),
+            (1.20, 1.80, 64, 100, 5, False),
+        ])
+        frame_times = np.arange(250) * 0.008  # 2.0 s
+        times, values = (
+            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
+        events, starts, ends, state_events, state_idx = (
+            rle.encode_and_index_events(
+                state=ns_lib.NoteEncodingState(),
+                event_times=times, event_values=values,
+                encode_event_fn=ns_lib.note_event_data_to_events,
+                codec=codec, frame_times=frame_times,
+                encoding_state_to_events_fn=(
+                    ns_lib.note_encoding_state_to_events)))
+
+        # split at frame 125 (t=1.0) the way the dataset slicer does
+        def segment_tokens(f0, f1):
+            tok = events[starts[f0]:ends[f1 - 1]]
+            s0 = state_idx[f0]
+            s1 = s0 + 1
+            while state_events[s1 - 1] != 1131:
+                s1 += 1
+            seg = np.concatenate([state_events[s0:s1], tok])
+            return rle.run_length_encode_shifts(seg, codec)
+
+        preds = [
+            {'est_tokens': segment_tokens(0, 125), 'start_time': 0.0,
+             'raw_inputs': []},
+            {'est_tokens': segment_tokens(125, 250), 'start_time': 1.0,
+             'raw_inputs': []},
+        ]
+        result = event_predictions_to_ns(
+            preds, codec, ns_lib.NoteEncodingWithTiesSpec)
+        decoded = result['est_ns']
+        assert result['est_invalid_events'] == 0
+        assert len(decoded.notes) == 2
+        long_note = [n for n in decoded.notes if n.pitch == 60][0]
+        assert long_note.start_time == pytest.approx(0.0)
+        assert long_note.end_time == pytest.approx(1.5, abs=0.005)
