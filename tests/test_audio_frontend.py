@@ -1,0 +1,209 @@
+"""Golden tests for the log-mel frontend and WAV I/O.
+
+The 'tf' filterbank style is checked for exact parity against
+tf.signal/ddsp-equivalent TensorFlow ops (the oracle the reference uses for
+the official checkpoint); the STFT is independently checked against a direct
+numpy DFT.
+"""
+
+import numpy as np
+import pytest
+
+from mr_mt3_tpu.audio import (
+    SpectrogramConfig,
+    compute_logmel,
+    frame_times,
+    normalize_logmel,
+    read_wav,
+    resample,
+    split_audio,
+    write_wav,
+)
+from mr_mt3_tpu.audio.frontend import (
+    _hann_periodic,
+    mel_filterbank,
+    num_stft_frames,
+    safe_log,
+)
+
+
+def _tone(n, sr=16000, freqs=(440.0, 880.0, 1760.0)):
+    t = np.arange(n) / sr
+    x = sum(np.sin(2 * np.pi * f * t + i) for i, f in enumerate(freqs))
+    return (x / len(freqs)).astype(np.float32)
+
+
+class TestStft:
+    def test_against_numpy_dft(self):
+        """Frame 0 magnitude equals a hand-rolled windowed DFT."""
+        x = _tone(4096)
+        cfg = SpectrogramConfig()
+        mel = compute_logmel(x, cfg)  # just to ensure jit works
+        from mr_mt3_tpu.audio.frontend import _frontend_constants, _stft_magnitude
+        window, _ = _frontend_constants(cfg)
+        mag = np.asarray(_stft_magnitude(
+            x[None], window, cfg.hop_width, cfg.fft_size))[0]
+        w = _hann_periodic(2048)
+        ref0 = np.abs(np.fft.rfft(x[:2048] * w))
+        np.testing.assert_allclose(mag[0], ref0, rtol=1e-4, atol=1e-4)
+        ref5 = np.abs(np.fft.rfft(x[5 * 128:5 * 128 + 2048] * w))
+        np.testing.assert_allclose(mag[5], ref5, rtol=1e-4, atol=1e-4)
+
+    def test_frame_count_pad_end(self):
+        assert num_stft_frames(32768, 128) == 256
+        assert num_stft_frames(32769, 128) == 257
+        assert num_stft_frames(1, 128) == 1
+        x = _tone(32768)
+        out = compute_logmel(x)
+        assert out.shape == (256, 512)
+
+    def test_batched_matches_single(self):
+        x = np.stack([_tone(32768), _tone(32768, freqs=(330.0,))])
+        batched = np.asarray(compute_logmel(x))
+        single0 = np.asarray(compute_logmel(x[0]))
+        np.testing.assert_allclose(batched[0], single0, atol=1e-6)
+
+
+class TestTfParity:
+    """Exact parity with the TensorFlow ops used by ddsp.compute_logmel."""
+
+    @pytest.fixture(scope='class')
+    def tf(self):
+        tf = pytest.importorskip('tensorflow')
+        return tf
+
+    def test_filterbank_matches_tf(self, tf):
+        mine = mel_filterbank(512, 1025, 16000, 20.0, 7600.0, style='tf')
+        theirs = tf.signal.linear_to_mel_weight_matrix(
+            num_mel_bins=512, num_spectrogram_bins=1025, sample_rate=16000,
+            lower_edge_hertz=20.0, upper_edge_hertz=7600.0).numpy()
+        # tf computes band edges in float32; mine are float64 — tiny drift
+        np.testing.assert_allclose(mine, theirs, atol=1e-4)
+
+    def test_logmel_matches_tf_pipeline(self, tf):
+        """Full ddsp.spectral_ops.compute_logmel equivalent in TF as oracle."""
+        x = _tone(32768)
+        stfts = tf.signal.stft(x, frame_length=2048, frame_step=128,
+                               fft_length=2048, pad_end=True)
+        mag = tf.abs(stfts)
+        fb = tf.signal.linear_to_mel_weight_matrix(
+            num_mel_bins=512, num_spectrogram_bins=1025, sample_rate=16000,
+            lower_edge_hertz=20.0, upper_edge_hertz=7600.0)
+        mel = tf.tensordot(mag, fb, 1)
+        oracle = tf.math.log(tf.where(mel <= 0.0, 1e-5, mel)).numpy()
+
+        mine = np.asarray(compute_logmel(
+            x, SpectrogramConfig(filterbank_style='tf')))
+        assert mine.shape == oracle.shape
+        # In spectral dead zones (mel ~ 1e-6) the fp32 FFT noise floor
+        # dominates and log values are implementation-defined; the reference
+        # itself reports MAE ~2e-3 between its two frontends
+        # (reference: contrib/spectrograms.py:114-118). Require tight parity
+        # where there is energy, and a global MAE far below that.
+        mask = oracle > -4
+        assert mask.sum() > 10000
+        assert np.abs(mine[mask] - oracle[mask]).max() < 1e-3
+        # dead bins sit on the fp32 FFT noise floor; bound them in mel space
+        assert np.abs(np.exp(mine) - np.exp(oracle)).max() < 0.01
+
+
+class TestTorchStyleFilterbank:
+    def test_band_edges_and_coverage(self):
+        fb = mel_filterbank(512, 1025, 16000, 20.0, 7600.0, style='torch')
+        assert fb.shape == (1025, 512)
+        freqs = np.linspace(0, 8000, 1025)
+        # no energy below f_min or above f_max
+        assert fb[freqs < 19, :].sum() == 0
+        assert fb[freqs > 7620, :].sum() == 0
+        # interior bins covered: triangles overlap to > 0
+        interior = (freqs > 60) & (freqs < 7500)
+        assert (fb[interior, :].sum(axis=1) > 0).all()
+
+    def test_torch_vs_tf_styles_close(self):
+        """The two interpolations differ slightly but agree to ~1e-2."""
+        a = mel_filterbank(512, 1025, 16000, 20.0, 7600.0, style='torch')
+        b = mel_filterbank(512, 1025, 16000, 20.0, 7600.0, style='tf')
+        assert np.abs(a - b).max() < 0.05
+        assert np.abs(a - b).mean() < 1e-3
+
+    def test_matches_torch_stft_pipeline(self):
+        """Oracle: torch.stft + my fbank = torchaudio MelSpectrogram."""
+        torch = pytest.importorskip('torch')
+        x = _tone(32768)
+        n_frames = 256
+        padded = np.pad(x, (0, 2048 + 128 * (n_frames - 1) - len(x)))
+        xt = torch.from_numpy(padded)
+        window = torch.hann_window(2048, periodic=True)
+        st = torch.stft(xt, n_fft=2048, hop_length=128, win_length=2048,
+                        window=window, center=False, return_complex=True)
+        mag = st.abs().numpy().T  # (frames, bins)
+        fb = mel_filterbank(512, 1025, 16000, 20.0, 7600.0, style='torch')
+        mel = mag @ fb
+        oracle = np.log(np.where(mel <= 0, 1e-5, mel))
+
+        mine = np.asarray(compute_logmel(
+            x, SpectrogramConfig(filterbank_style='torch')))
+        mask = oracle > -4
+        assert mask.sum() > 10000
+        assert np.abs(mine[mask] - oracle[mask]).max() < 1e-3
+        # dead bins sit on the fp32 FFT noise floor; bound them in mel space
+        assert np.abs(np.exp(mine) - np.exp(oracle)).max() < 0.01
+
+
+class TestNormalization:
+    def test_normalize_range(self):
+        x = np.array([-20.0, -12.0, -3.5, 5.0, 10.0])
+        out = np.asarray(normalize_logmel(x))
+        np.testing.assert_allclose(out, [0.0, 0.0, 0.5, 1.0, 1.0])
+
+    def test_safe_log_floor(self):
+        out = np.asarray(safe_log(np.array([0.0, -1.0, 1.0])))
+        # XLA's fp32 log is a fast approximation (~50 ulp)
+        np.testing.assert_allclose(out, [np.log(1e-5), np.log(1e-5), 0.0],
+                                   atol=1e-3)
+
+
+class TestFraming:
+    def test_split_audio_pads(self):
+        x = np.arange(300, dtype=np.float32)
+        frames = split_audio(x)
+        assert frames.shape == (3, 128)
+        assert frames[2, 43] == 299
+        assert frames[2, 44] == 0
+
+    def test_frame_times(self):
+        t = frame_times(4)
+        np.testing.assert_allclose(t, [0.0, 0.008, 0.016, 0.024])
+
+
+class TestWavIO:
+    @pytest.mark.parametrize('subtype', ['PCM_16', 'PCM_24', 'FLOAT'])
+    def test_roundtrip(self, tmp_path, subtype):
+        x = _tone(1000)
+        path = tmp_path / f'{subtype}.wav'
+        write_wav(path, x, 16000, subtype=subtype)
+        y, sr = read_wav(path)
+        assert sr == 16000
+        tol = {'PCM_16': 1e-4, 'PCM_24': 1e-6, 'FLOAT': 1e-7}[subtype]
+        np.testing.assert_allclose(y, x, atol=tol)
+
+    def test_bad_file_raises(self, tmp_path):
+        p = tmp_path / 'bad.wav'
+        p.write_bytes(b'garbage data here')
+        with pytest.raises(ValueError):
+            read_wav(p)
+
+    def test_resample_preserves_tone(self):
+        sr_in, sr_out = 44100, 16000
+        t = np.arange(sr_in) / sr_in
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = resample(x, sr_in, sr_out)
+        assert abs(len(y) - sr_out) <= 1
+        # dominant frequency preserved
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        peak_hz = np.argmax(spec) * sr_out / len(y)
+        assert abs(peak_hz - 440) < 2
+
+    def test_resample_identity(self):
+        x = _tone(100)
+        np.testing.assert_array_equal(resample(x, 16000, 16000), x)
