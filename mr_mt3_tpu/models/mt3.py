@@ -141,10 +141,11 @@ class FeedForward(nn.Module):
                              dtype=dtype)
         self.wo = nn.Dense(self.cfg.d_model, use_bias=False, name='wo',
                            dtype=dtype)
+        self.dropout = nn.Dropout(self.cfg.dropout_rate)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         h = gelu_new(self.wi_0(x)) * self.wi_1(x)
-        h = nn.Dropout(self.cfg.dropout_rate)(h, deterministic=deterministic)
+        h = self.dropout(h, deterministic=deterministic)
         return self.wo(h)
 
 
@@ -163,9 +164,10 @@ class Block(nn.Module):
             self.cross_attn = Attention(self.cfg, name='cross_attn')
         self.ff_norm = RMSNorm(epsilon=eps, name='ff_norm')
         self.ff = FeedForward(self.cfg, name='ff')
+        self.res_dropout = nn.Dropout(self.dropout_rate)
 
     def _drop(self, x, deterministic):
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return self.res_dropout(x, deterministic=deterministic)
 
     def __call__(self, x: jnp.ndarray,
                  encoder_out: Optional[jnp.ndarray] = None,
@@ -200,6 +202,7 @@ class Stack(nn.Module):
             for i in range(self.num_layers)]
         self.final_norm = RMSNorm(epsilon=self.cfg.layer_norm_epsilon,
                                   name='final_norm')
+        self.io_dropout = nn.Dropout(self.dropout_rate)
         self.pos_table = jnp.asarray(sinusoidal_position_table(
             self.cfg.d_model, self.cfg.max_positions))
 
@@ -212,7 +215,7 @@ class Stack(nn.Module):
                  encoder_out: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
         x = self.add_positions(embeds)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = self.io_dropout(x, deterministic=deterministic)
         self_mask = None
         if self.is_decoder:
             seq = x.shape[-2]
@@ -222,7 +225,7 @@ class Stack(nn.Module):
             x = block(x, encoder_out=encoder_out, self_mask=self_mask,
                       deterministic=deterministic)
         x = self.final_norm(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = self.io_dropout(x, deterministic=deterministic)
         return x
 
 
