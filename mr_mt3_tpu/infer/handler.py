@@ -1,0 +1,268 @@
+"""Transcription inference engine.
+
+Behavior-compatible rebuild of the reference InferenceHandler
+(reference: inference.py:20-234), redesigned for TPU execution:
+
+  * the log-mel frontend, encoder, and greedy decode all run on device with
+    static shapes — segment batches are padded to a fixed batch size and
+    segment counts to a bucket so one compilation serves every song;
+  * greedy decode uses the KV-cache while_loop (the reference re-runs the
+    full decoder per token with use_cache=False);
+  * contiguous (segmem) mode runs the segment chain as an on-device scan
+    carrying the previous segment's tokens, instead of a Python loop.
+
+Host side (framing bookkeeping, token postprocess, NoteSequence assembly,
+MIDI writing) matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import traceback
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_mt3_tpu.audio import (
+    SpectrogramConfig,
+    compute_logmel,
+    normalize_logmel,
+)
+from mr_mt3_tpu.codec import (
+    DECODED_EOS_ID,
+    VocabularyConfig,
+    build_codec,
+    vocabulary_from_codec,
+)
+from mr_mt3_tpu.codec import note_sequences
+from mr_mt3_tpu.codec.combine import event_predictions_to_ns
+from mr_mt3_tpu.midi import note_sequence_to_midi_file
+from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.ops.decode import greedy_decode, segmem_greedy_decode
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class InferenceHandler:
+    """Audio -> MIDI transcription.
+
+    Args:
+      model: an MT3 module (vanilla or segmem variant).
+      variables: its parameter pytree ({'params': ...}).
+      weight_path: alternatively, a reference-format torch checkpoint to load
+        into a vanilla MT3 (reference ctor behavior: inference.py:31-42).
+      mel_norm: clamp/scale log-mel to [0,1]; off for the official
+        checkpoint (reference: test.py:123).
+      contiguous_inference: run the whole song as one sequential segment
+        chain so segment memory can propagate
+        (reference: inference.py:176-181).
+      filterbank_style: 'torch' for in-repo models, 'tf' for the official
+        checkpoint (reference use_tf_spectral_ops).
+    """
+
+    SAMPLE_RATE = 16000
+
+    def __init__(self,
+                 model: Optional[MT3] = None,
+                 variables=None,
+                 weight_path: Optional[str] = None,
+                 mel_norm: bool = True,
+                 contiguous_inference: bool = False,
+                 filterbank_style: str = 'torch',
+                 batch_size: int = 8,
+                 max_length: int = 1024,
+                 segment_bucket: int = 32):
+        if model is None:
+            cfg = MT3Config()
+            model = MT3(cfg)
+            if weight_path is None:
+                raise ValueError('need model+variables or weight_path')
+            from mr_mt3_tpu.utils.checkpoint_import import (
+                load_torch_checkpoint)
+            variables = {'params': load_torch_checkpoint(weight_path, cfg)}
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.mel_norm = mel_norm
+        self.contiguous_inference = contiguous_inference
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.segment_bucket = segment_bucket
+        self.spectrogram_config = SpectrogramConfig(
+            filterbank_style=filterbank_style)
+        self.codec = build_codec(VocabularyConfig(num_velocity_bins=1))
+        self.vocab = vocabulary_from_codec(self.codec)
+        self.mel_length = 256
+
+        self._decode_fn = None
+        self._segmem_fn = None
+
+    # ---- host-side preprocessing (reference: inference.py:64-127) ----
+
+    def _audio_to_segments(self, audio: np.ndarray):
+        """Frame and split audio into zero-padded (N, mel_length*hop) chunks.
+
+        Returns (segment_samples (N, 32768), frame_times (N, 256),
+        valid_frames per segment).
+        """
+        hop = self.spectrogram_config.hop_width
+        pad = hop - len(audio) % hop
+        audio = np.pad(audio, (0, pad))
+        num_frames = len(audio) // hop
+        times = np.arange(num_frames) / self.spectrogram_config.frames_per_second
+
+        seg_frames = self.mel_length
+        num_segments = math.ceil(num_frames / seg_frames)
+        seg_samples = seg_frames * hop
+        segments = np.zeros((num_segments, seg_samples), dtype=np.float32)
+        seg_times = np.zeros((num_segments, seg_frames))
+        valid = []
+        for i in range(num_segments):
+            f0 = i * seg_frames
+            f1 = min(f0 + seg_frames, num_frames)
+            n = f1 - f0
+            segments[i, :n * hop] = audio[f0 * hop:f1 * hop]
+            seg_times[i, :n] = times[f0:f1]
+            valid.append(n)
+        return segments, seg_times, valid
+
+    def _compute_mel(self, segments: np.ndarray,
+                     valid: List[int]) -> np.ndarray:
+        mel = compute_logmel(jnp.asarray(segments), self.spectrogram_config)
+        if self.mel_norm:
+            mel = normalize_logmel(mel)
+        mel = np.array(mel)  # writable host copy
+        # zero padded tail frames (reference: inference.py:125-127)
+        for i, n in enumerate(valid):
+            mel[i, n:] = 0.0
+        return mel
+
+    # ---- device-side decode ----
+
+    def _get_decode_fn(self):
+        if self._decode_fn is None:
+            model, max_length = self.model, self.max_length
+
+            @jax.jit
+            def fn(variables, mel):
+                return greedy_decode(model, variables, mel, max_length)
+            self._decode_fn = fn
+        return self._decode_fn
+
+    def _get_segmem_fn(self):
+        if self._segmem_fn is None:
+            model, max_length = self.model, self.max_length
+
+            @jax.jit
+            def fn(variables, mel_segments):
+                return segmem_greedy_decode(model, variables, mel_segments,
+                                            max_length)
+            self._segmem_fn = fn
+        return self._segmem_fn
+
+    def _decode_all(self, mel: np.ndarray) -> np.ndarray:
+        """mel (N, 256, 512) -> model-space tokens (N, max_length + 1)."""
+        n = mel.shape[0]
+        if self.contiguous_inference:
+            bucket = max(self.segment_bucket, 1)
+            padded = _round_up(n, bucket)
+            mel_p = np.zeros((1, padded) + mel.shape[1:], mel.dtype)
+            mel_p[0, :n] = mel
+            fn = self._get_segmem_fn()
+            tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
+            return tokens[:n]
+        b = self.batch_size
+        outs = []
+        for start in range(0, n, b):
+            chunk = mel[start:start + b]
+            if chunk.shape[0] < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - chunk.shape[0],) + chunk.shape[1:],
+                                     chunk.dtype)])
+            fn = self._get_decode_fn()
+            tokens = np.asarray(fn(self.variables, jnp.asarray(chunk)))
+            outs.append(tokens)
+        return np.concatenate(outs)[:n]
+
+    # ---- host-side postprocess (reference: inference.py:206-234) ----
+
+    def _postprocess(self, tokens: np.ndarray) -> np.ndarray:
+        """Model tokens -> codec tokens: EOS-and-after -> -1, strip the
+        special offset, drop the start token."""
+        after_eos = np.cumsum(tokens == self.cfg.eos_token_id, axis=-1)
+        out = tokens - self.vocab.num_special_tokens()
+        out = np.where(after_eos > 0, DECODED_EOS_ID, out)
+        return out[:, 1:]
+
+    def _to_note_sequence(self, tokens: np.ndarray, seg_times: np.ndarray):
+        predictions = []
+        for i, row in enumerate(tokens):
+            # trim at the first EOS marker; np.argmax semantics match the
+            # reference (no EOS -> argmax 0 -> empty tokens)
+            row = row[:np.argmax(row == DECODED_EOS_ID)]
+            start_time = seg_times[i][0]
+            start_time -= start_time % (1 / self.codec.steps_per_second)
+            predictions.append({
+                'est_tokens': row,
+                'start_time': start_time,
+                'raw_inputs': [],
+            })
+        result = event_predictions_to_ns(
+            predictions, codec=self.codec,
+            encoding_spec=note_sequences.NoteEncodingWithTiesSpec)
+        return result['est_ns']
+
+    # ---- public API ----
+
+    def transcribe(self, audio: np.ndarray) -> note_sequences.NoteSequence:
+        """16 kHz mono audio -> NoteSequence."""
+        segments, seg_times, valid = self._audio_to_segments(
+            np.asarray(audio, dtype=np.float32))
+        mel = self._compute_mel(segments, valid)
+        tokens = self._decode_all(mel)
+        codec_tokens = self._postprocess(tokens)
+        return self._to_note_sequence(codec_tokens, seg_times)
+
+    def inference(self, audio, audio_path: str = '', outpath=None,
+                  valid_programs=None, batch_size: Optional[int] = None,
+                  max_length: Optional[int] = None,
+                  verbose: bool = False) -> Optional[
+                      note_sequences.NoteSequence]:
+        """Transcribe and write a MIDI file (reference signature:
+        inference.py:149-204; errors are caught and printed the same way)."""
+        if batch_size is not None:
+            self.batch_size = batch_size
+        if max_length is not None and max_length != self.max_length:
+            self.max_length = max_length
+            self._decode_fn = None
+            self._segmem_fn = None
+        try:
+            ns = self.transcribe(audio)
+            if outpath is None:
+                filename = os.path.basename(str(audio_path)).split('.')[0]
+                outpath = f'./out/{filename}.mid'
+            parent = os.path.dirname(str(outpath))
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            if verbose:
+                print('saving', outpath)
+            note_sequence_to_midi_file(ns, outpath)
+            return ns
+        except Exception:
+            traceback.print_exc()
+            return None
+
+    def _get_program_ids(self, valid_programs) -> List[List[int]]:
+        """Model-space ids of invalid programs (reference: inference.py:138-147;
+        computed for API parity — the reference never applies them)."""
+        min_program_id, max_program_id = self.codec.event_type_range(
+            'program')
+        total = max_program_id - min_program_id
+        invalid = [min_program_id + p for p in range(total)
+                   if p not in valid_programs]
+        return [[p] for p in self.vocab.encode(invalid)]
