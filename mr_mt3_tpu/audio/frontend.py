@@ -145,14 +145,16 @@ def safe_log(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _frontend_constants(config: SpectrogramConfig):
-    window = jnp.asarray(_hann_periodic(config.fft_size))
-    fbank = jnp.asarray(mel_filterbank(
+    # numpy on purpose: this cache may be populated inside a jit trace, and
+    # caching jnp arrays created there would leak tracers
+    window = _hann_periodic(config.fft_size)
+    fbank = mel_filterbank(
         num_mel_bins=config.num_mel_bins,
         num_spectrogram_bins=config.fft_size // 2 + 1,
         sample_rate=config.sample_rate,
         lo_hz=config.mel_lo_hz,
         hi_hz=config.mel_hi_hz,
-        style=config.filterbank_style))
+        style=config.filterbank_style)
     return window, fbank
 
 

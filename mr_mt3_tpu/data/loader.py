@@ -1,0 +1,93 @@
+"""Threaded prefetching data loader.
+
+Replaces torch DataLoader + collate (reference: train.py:49-60,
+dataset/dataset_2_random.py:496-499): items from `batch_size` songs are
+concatenated along the row axis into one flat batch. Tokenization is
+CPU-bound Python, so a thread pool with per-epoch shuffling and bounded
+prefetch keeps the accelerator fed; per-song caches (in the datasets) make
+epochs after the first cheap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate_batch(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Concatenate per-song row stacks into one flat batch."""
+    items = [it for it in items if it is not None]
+    if not items:
+        raise ValueError('all items in batch were None')
+    keys = items[0].keys()
+    return {k: np.concatenate([it[k] for it in items], axis=0) for k in keys}
+
+
+class DataLoader:
+    """Iterates batches of `batch_size` dataset items, prefetched by threads.
+
+    Each epoch reshuffles item order (unless shuffle=False). Failed items
+    (None) are dropped; a batch with no valid items is skipped.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 0,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[List[int]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [order[i:i + self.batch_size].tolist()
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            # single producer thread driving a pool keeps batch order
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=self.num_workers) as pool:
+                for batch_ids in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__,
+                                          batch_ids))
+                    items = [it for it in items if it is not None]
+                    out_q.put(collate_batch(items) if items else None)
+            out_q.put(StopIteration)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is StopIteration:
+                    return
+                if item is not None:
+                    yield item
+        finally:
+            stop.set()

@@ -1,0 +1,82 @@
+"""Batch transcription + evaluation ("get_scores").
+
+Package home of the reference's test.get_scores (reference: test.py:15-80),
+which the training loop's periodic-F1 hook also uses
+(reference: tasks/mt3_base.py:27-46).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mr_mt3_tpu.audio import read_wav, resample
+from mr_mt3_tpu.eval.evaluate import evaluate_main
+from mr_mt3_tpu.infer.handler import InferenceHandler
+
+
+def load_eval_audio(path, eval_dataset: str = 'Slakh') -> np.ndarray:
+    audio, sr = read_wav(path)
+    if sr != 16000:
+        audio = resample(audio, sr, 16000)
+    if eval_dataset == 'NSynth':
+        # NSynth clips get 50 ms of leading silence (reference: test.py:38-39)
+        audio = np.pad(audio, (int(0.05 * 16000), 0))
+    return audio
+
+
+def get_scores(
+    model=None,
+    variables=None,
+    handler: Optional[InferenceHandler] = None,
+    eval_audio_dir: Optional[List[str]] = None,
+    mel_norm: bool = True,
+    eval_dataset: str = 'Slakh',
+    exp_tag_name: str = 'test_midis',
+    ground_truth_midi_dir: Optional[str] = None,
+    verbose: bool = True,
+    contiguous_inference: bool = False,
+    use_tf_spectral_ops: bool = False,
+    batch_size: int = 8,
+    max_length: int = 1024,
+) -> Dict[str, float]:
+    """Transcribe every file in eval_audio_dir, then score the output dir.
+
+    Output layout matches the reference: Slakh songs write
+    {exp_tag_name}/{song}/mix.mid, ComMU/NSynth write
+    {exp_tag_name}/{name}.mid (reference: test.py:46-56).
+    """
+    if handler is None:
+        handler = InferenceHandler(
+            model=model, variables=variables, mel_norm=mel_norm,
+            contiguous_inference=contiguous_inference,
+            filterbank_style='tf' if use_tf_spectral_ops else 'torch',
+            batch_size=batch_size, max_length=max_length)
+
+    for fname in eval_audio_dir:
+        audio = load_eval_audio(fname, eval_dataset)
+        if eval_dataset == 'Slakh':
+            name = str(fname).split(os.sep)[-2]
+            outpath = os.path.join(exp_tag_name, name, 'mix.mid')
+        elif eval_dataset in ('ComMU', 'NSynth'):
+            name = os.path.basename(str(fname))
+            outpath = os.path.join(exp_tag_name,
+                                   name.replace('.wav', '.mid'))
+        else:
+            raise ValueError('Invalid dataset name.')
+        if verbose:
+            print('transcribing', fname)
+        handler.inference(audio=audio, audio_path=str(fname),
+                          outpath=outpath, verbose=verbose)
+
+    scores = evaluate_main(
+        dataset_name=eval_dataset,
+        test_midi_dir=exp_tag_name,
+        ground_truth_midi_dir=ground_truth_midi_dir)
+
+    if verbose:
+        for key in sorted(scores):
+            print('{}: {:.4}'.format(key, scores[key]))
+    return scores

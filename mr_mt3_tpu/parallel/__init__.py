@@ -1,0 +1,9 @@
+"""Device meshes and sharding rules."""
+
+from mr_mt3_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicate,
+    shard_batch,
+)

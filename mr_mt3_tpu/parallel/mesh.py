@@ -1,0 +1,100 @@
+"""Device mesh construction and sharding rules.
+
+The reference's distributed story is Lightning DDP over NCCL (SURVEY §2.8).
+Here the equivalent is a JAX mesh with a 'data' axis (gradient all-reduce
+compiled by XLA over ICI) plus an optional 'model' axis for tensor
+parallelism of the attention/MLP projections — more than a 46M-param model
+needs, but the layout rules make the same code scale to larger configs.
+
+Multi-host: call jax.distributed.initialize() before building the mesh and
+jax.devices() spans the slice; shardings below are process-agnostic.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ('data', 'model'); data fills remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f'{n} devices not divisible by model={model}')
+        data = n // model
+    if data * model > n:
+        raise ValueError(f'mesh {data}x{model} exceeds {n} devices')
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(arr, ('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split across 'data'."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter layout rules for the optional tensor-parallel axis. Attention
+# q/k/v and MLP wi_* shard their output features (heads / ffn) across
+# 'model'; o and wo shard input features, so each pair needs only one
+# all-reduce, inserted by XLA.
+_PARAM_RULES = (
+    (re.compile(r'(self_attn|cross_attn)/(q|k|v)/kernel$'), P(None, 'model')),
+    (re.compile(r'(self_attn|cross_attn)/o/kernel$'), P('model', None)),
+    (re.compile(r'ff/(wi_0|wi_1)/kernel$'), P(None, 'model')),
+    (re.compile(r'ff/wo/kernel$'), P('model', None)),
+    (re.compile(r'lm_head/kernel$'), P(None, 'model')),
+    (re.compile(r'token_embed/embedding$'), P('model', None)),
+)
+
+
+def _path_str(path) -> str:
+    return '/'.join(getattr(k, 'key', str(k)) for k in path)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for params: TP rules on the 'model' axis,
+    replicated otherwise (pure DP when model axis has size 1)."""
+    def rule(path, leaf):
+        name = _path_str(path)
+        if mesh.shape['model'] > 1:
+            for pattern, spec in _PARAM_RULES:
+                if pattern.search(name):
+                    # guard: only shard if the dim divides evenly
+                    axis = spec.index('model') if 'model' in spec else None
+                    if axis is not None and \
+                            leaf.shape[axis] % mesh.shape['model'] == 0:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
+                pad_to_multiple: bool = True) -> Dict[str, jax.Array]:
+    """Device-put a host batch with the leading axis split over 'data'.
+
+    Pads the batch (repeating final rows) so the leading dim divides the
+    data axis; training losses mask -100 targets, and repeated rows only
+    perturb gradient weighting negligibly at the final partial batch.
+    """
+    n_data = mesh.shape['data']
+    out = {}
+    for key, value in batch.items():
+        b = value.shape[0]
+        if b % n_data:
+            pad = n_data - (b % n_data)
+            reps = value[-1:].repeat(pad, axis=0)
+            value = np.concatenate([value, reps], axis=0)
+        out[key] = jax.device_put(value, batch_sharding(mesh))
+    return out

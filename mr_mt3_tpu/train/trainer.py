@@ -1,0 +1,313 @@
+"""Train state, sharded train/eval steps, and the training loop.
+
+Covers the reference's Lightning task + Trainer surface
+(reference: tasks/mt3_net*.py, tasks/mt3_base.py, train.py): CE /
+weighted-CE losses, AdamW + cosine-warmup stepped per optimizer step,
+val-loss monitoring with top-k + last checkpointing, LR logging, periodic
+full transcription-F1 evaluation, warm start from reference .pth weights,
+and resume.
+
+TPU-first details:
+  * the log-mel frontend runs inside the jitted train step (the batch
+    carries raw audio segments + valid frame counts);
+  * the step is jit-compiled over a ('data', 'model') mesh — gradients
+    all-reduce over ICI like DDP, with optional tensor parallelism from
+    mr_mt3_tpu.parallel.mesh param rules;
+  * checkpoints are Orbax; reference torch checkpoints import via
+    mr_mt3_tpu.utils.checkpoint_import.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mr_mt3_tpu.audio.frontend import (
+    SpectrogramConfig,
+    compute_logmel,
+    normalize_logmel,
+)
+from mr_mt3_tpu.models import MT3
+from mr_mt3_tpu.models.mt3 import shift_right
+from mr_mt3_tpu.parallel import mesh as mesh_lib
+from mr_mt3_tpu.train.losses import cross_entropy_loss, weighted_instrument_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params))
+
+
+def batch_to_mel(audio: jnp.ndarray, valid_frames: jnp.ndarray,
+                 spectrogram_config: SpectrogramConfig,
+                 mel_norm: bool = True) -> jnp.ndarray:
+    """Raw segment audio (B, frames*hop) -> normalized mel (B, frames, bins)
+    with padded frames zeroed (reference pads the mel with zeros:
+    dataset_2_random.py:296-298)."""
+    mel = compute_logmel(audio, spectrogram_config)
+    if mel_norm:
+        mel = normalize_logmel(mel)
+    frame_idx = jnp.arange(mel.shape[1])[None, :, None]
+    return jnp.where(frame_idx < valid_frames[:, None, None], mel, 0.0)
+
+
+def make_train_step(model: MT3, optimizer,
+                    loss_type: str = 'ce',
+                    spectrogram_config: SpectrogramConfig =
+                    SpectrogramConfig(),
+                    mel_norm: bool = True) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    cfg = model.cfg
+
+    def loss_fn(params, batch, rng):
+        mel = batch_to_mel(batch['audio'], batch['valid_frames'],
+                           spectrogram_config, mel_norm)
+        targets = batch['targets']
+        logits = model.apply(
+            {'params': params}, mel, labels=targets,
+            targets_prev=batch.get('targets_prev'),
+            deterministic=False, rngs={'dropout': rng})
+        if loss_type == 'weighted':
+            loss, logs = weighted_instrument_loss(logits, targets)
+        else:
+            loss = cross_entropy_loss(logits, targets)
+            logs = {}
+        return loss, logs
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {'loss': loss, **logs}
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_eval_step(model: MT3, loss_type: str = 'ce',
+                   spectrogram_config: SpectrogramConfig =
+                   SpectrogramConfig(),
+                   mel_norm: bool = True) -> Callable:
+    @jax.jit
+    def eval_step(params, batch):
+        mel = batch_to_mel(batch['audio'], batch['valid_frames'],
+                           spectrogram_config, mel_norm)
+        targets = batch['targets']
+        logits = model.apply(
+            {'params': params}, mel, labels=targets,
+            targets_prev=batch.get('targets_prev'), deterministic=True)
+        if loss_type == 'weighted':
+            loss, logs = weighted_instrument_loss(logits, targets)
+        else:
+            loss = cross_entropy_loss(logits, targets)
+            logs = {}
+        return {'loss': loss, **logs}
+    return eval_step
+
+
+class MetricsWriter:
+    """Scalar logging: JSONL always; TensorBoard when TF is available
+    (the reference uses Lightning's TensorBoardLogger — train.py:32-33)."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
+        self._tb = None
+        if use_tensorboard:
+            try:
+                os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+                import tensorflow as tf
+                tf.config.set_visible_devices([], 'GPU')
+                self._tb = tf.summary.create_file_writer(log_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: Dict[str, float]):
+        record = {'step': int(step),
+                  **{k: float(v) for k, v in scalars.items()}}
+        self._jsonl.write(json.dumps(record) + '\n')
+        self._jsonl.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for key, value in scalars.items():
+                    tf.summary.scalar(key, float(value), step=int(step))
+            self._tb.flush()
+
+    def close(self):
+        self._jsonl.close()
+
+
+@dataclasses.dataclass
+class CheckpointPolicy:
+    """ModelCheckpoint-equivalent knobs (reference: config/config.yaml:30-36)."""
+    monitor: str = 'val_loss'
+    mode: str = 'min'
+    save_last: bool = True
+    save_top_k: int = 5
+    every_n_epochs: int = 1
+
+
+class Trainer:
+    """Minimal but complete training loop."""
+
+    def __init__(
+        self,
+        model: MT3,
+        optimizer,
+        loss_type: str = 'ce',
+        out_dir: str = 'runs/default',
+        mesh=None,
+        checkpoint_policy: CheckpointPolicy = CheckpointPolicy(),
+        log_every_n_steps: int = 100,
+        check_val_every_n_epoch: int = 1,
+        eval_hook: Optional[Callable[[Any, int], Dict[str, float]]] = None,
+        eval_after_num_epoch: int = 0,
+        eval_per_epoch: int = 1,
+        lr_schedule: Optional[Callable] = None,
+        seed: int = 365,
+        mel_norm: bool = True,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.out_dir = out_dir
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.policy = checkpoint_policy
+        self.log_every_n_steps = log_every_n_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.eval_hook = eval_hook
+        self.eval_after_num_epoch = eval_after_num_epoch
+        self.eval_per_epoch = eval_per_epoch
+        self.lr_schedule = lr_schedule
+        self.rng = jax.random.PRNGKey(seed)
+        self.mel_norm = mel_norm
+
+        self.train_step = make_train_step(model, optimizer,
+                                          loss_type=loss_type,
+                                          mel_norm=mel_norm)
+        self.eval_step = make_eval_step(model, loss_type=loss_type,
+                                        mel_norm=mel_norm)
+        os.makedirs(out_dir, exist_ok=True)
+        self.writer = MetricsWriter(os.path.join(out_dir, 'logs'))
+        self._ckpt_dir = os.path.join(os.path.abspath(out_dir), 'checkpoints')
+        self._ckpt_scores = []  # (score, epoch)
+
+    # ---- checkpointing (orbax) ----
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+        return ocp.StandardCheckpointer()
+
+    def save_checkpoint(self, state: TrainState, name: str):
+        import orbax.checkpoint as ocp
+        path = os.path.join(self._ckpt_dir, name)
+        ckptr = self._checkpointer()
+        ckptr.save(path, {'params': state.params,
+                          'step': np.asarray(state.step)},
+                   force=True)
+        ckptr.wait_until_finished()
+
+    def restore_params(self, name_or_path: str, like_params):
+        import orbax.checkpoint as ocp
+        path = name_or_path
+        if not os.path.isabs(path):
+            path = os.path.join(self._ckpt_dir, path)
+        ckptr = self._checkpointer()
+        target = {'params': like_params, 'step': np.zeros((), np.int32)}
+        restored = ckptr.restore(path, target=target)
+        return restored['params'], int(restored['step'])
+
+    def _maybe_save_topk(self, state: TrainState, epoch: int,
+                         val_loss: float):
+        if self.policy.save_last:
+            self.save_checkpoint(state, 'last')
+        if epoch % max(1, self.policy.every_n_epochs):
+            return
+        if self.policy.save_top_k == 0:
+            return
+        name = f'epoch={epoch}-val_loss={val_loss:.4f}'
+        self._ckpt_scores.append((val_loss, name))
+        reverse = self.policy.mode == 'max'
+        self._ckpt_scores.sort(key=lambda x: x[0], reverse=reverse)
+        keep = (self._ckpt_scores if self.policy.save_top_k < 0
+                else self._ckpt_scores[:self.policy.save_top_k])
+        if (val_loss, name) in keep:
+            self.save_checkpoint(state, name)
+        # prune dropped checkpoints
+        import shutil
+        keep_names = {n for _, n in keep} | {'last'}
+        if os.path.isdir(self._ckpt_dir):
+            for entry in os.listdir(self._ckpt_dir):
+                if entry not in keep_names:
+                    shutil.rmtree(os.path.join(self._ckpt_dir, entry),
+                                  ignore_errors=True)
+        self._ckpt_scores = keep
+
+    # ---- loop ----
+
+    def fit(self, state: TrainState, train_loader, val_loader=None,
+            num_epochs: int = 1, start_epoch: int = 0) -> TrainState:
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            for batch in train_loader:
+                sharded = mesh_lib.shard_batch(batch, self.mesh)
+                state, metrics = self.train_step(state, sharded, self.rng)
+                step = int(state.step)
+                if step % self.log_every_n_steps == 0:
+                    scalars = {f'train_{k}': float(v)
+                               for k, v in metrics.items()}
+                    if self.lr_schedule is not None:
+                        scalars['lr'] = float(self.lr_schedule(step))
+                    self.writer.log(step, scalars)
+            epoch_time = time.time() - t0
+
+            val_loss = None
+            if val_loader is not None and \
+                    (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_loss = self.validate(state, val_loader)
+                self.writer.log(int(state.step),
+                                {'val_loss': val_loss,
+                                 'epoch': epoch,
+                                 'epoch_time_s': epoch_time})
+                self._maybe_save_topk(state, epoch, val_loss)
+            elif self.policy.save_last:
+                self.save_checkpoint(state, 'last')
+
+            if (self.eval_hook is not None and
+                    epoch >= self.eval_after_num_epoch and
+                    epoch % max(1, self.eval_per_epoch) == 0):
+                scores = self.eval_hook(state.params, epoch)
+                if scores:
+                    self.writer.log(int(state.step),
+                                    {f'val_{k}': v
+                                     for k, v in scores.items()})
+        return state
+
+    def validate(self, state: TrainState, val_loader) -> float:
+        losses = []
+        for batch in val_loader:
+            sharded = mesh_lib.shard_batch(batch, self.mesh)
+            metrics = self.eval_step(state.params, sharded)
+            losses.append(float(metrics['loss']))
+        return float(np.mean(losses)) if losses else float('nan')

@@ -1,0 +1,87 @@
+"""Shared builders wiring configs to models/optimizers/datasets.
+
+Used by the train.py / test.py CLIs; keeps their logic symmetric with the
+reference entry points (reference: train.py:27-60, test.py:92-110).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.models.config import config_from_dict
+from mr_mt3_tpu.train.optim import make_optimizer
+from mr_mt3_tpu.utils.config import ConfigNode, instantiate
+
+
+def build_model(cfg: ConfigNode) -> MT3:
+    """cfg.model -> MT3 module (segmem fields live in the model YAML)."""
+    model_dict = cfg.model.config.to_dict()
+    model_dict['segmem_variant'] = cfg.model.get('segmem_variant')
+    model_dict['segmem_length'] = cfg.model.get('segmem_length', 64)
+    model_dict['segmem_num_layers'] = cfg.model.get('segmem_num_layers', 1)
+    return MT3(config_from_dict(model_dict))
+
+
+def init_params(model: MT3, seed: int = 0):
+    cfg = model.cfg
+    kwargs = {}
+    if cfg.has_segmem:
+        kwargs['targets_prev'] = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, 8, cfg.mel_bins)),
+        decoder_input_ids=jnp.zeros((1, 8), jnp.int32), **kwargs)
+    return variables['params']
+
+
+def build_optimizer(cfg: ConfigNode):
+    task = cfg.model.task
+    optim = cfg.optim
+    use_schedule = bool(task.get('use_scheduler', True))
+    total_steps = int(optim.num_steps_per_epoch) * int(optim.num_epochs)
+    optimizer = make_optimizer(
+        lr=float(optim.lr),
+        warmup_steps=int(optim.warmup_steps or 0) or None,
+        total_steps=total_steps,
+        min_lr=float(optim.min_lr or 0.0),
+        use_schedule=use_schedule and int(optim.warmup_steps or 0) >= 0,
+    ) if use_schedule else make_optimizer(lr=float(optim.lr),
+                                          use_schedule=False)
+    if use_schedule:
+        from mr_mt3_tpu.train.optim import cosine_schedule_with_warmup
+        schedule = cosine_schedule_with_warmup(
+            float(optim.lr), int(optim.warmup_steps), total_steps,
+            min_lr_multiplier=float(optim.min_lr or 0.0))
+    else:
+        schedule = None
+    return optimizer, schedule
+
+
+def build_datasets(cfg: ConfigNode):
+    train_ds = instantiate(cfg.dataset.train, seed=int(cfg.seed))
+    val_ds = instantiate(cfg.dataset.val, seed=int(cfg.seed) + 1,
+                         shuffle=False)
+    return train_ds, val_ds
+
+
+def load_weights(path: str, model: MT3, like_params=None):
+    """Load weights from a reference torch file (.pth/.pt/.ckpt) or an
+    orbax checkpoint directory. Returns (params, step)."""
+    if path.endswith(('.pth', '.pt', '.ckpt')) and os.path.isfile(path):
+        from mr_mt3_tpu.utils.checkpoint_import import load_torch_checkpoint
+        return load_torch_checkpoint(path, model.cfg), 0
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        if like_params is None:
+            like_params = init_params(model)
+        ckptr = ocp.StandardCheckpointer()
+        target = {'params': like_params, 'step': np.zeros((), np.int32)}
+        restored = ckptr.restore(os.path.abspath(path), target=target)
+        return restored['params'], int(restored['step'])
+    raise FileNotFoundError(path)

@@ -1,0 +1,64 @@
+"""Evaluation entry point (transcribe a dataset and score it).
+
+CLI mirrors the reference (reference: test.py, test.sh):
+
+  python test.py --config-name=config_slakh_segmem \
+      model=MT3NetSegMemV2WithPrev path=runs/.../checkpoints/last \
+      eval.eval_dataset=Slakh 'eval.audio_dir=/data/slakh/test/*/mix_16k.wav' \
+      eval.exp_tag_name=out_midis eval.midi_dir=/data/slakh/test/
+
+`path` may be an Orbax checkpoint directory or a reference torch
+.pth/.pt file. mel_norm is disabled automatically for the official
+checkpoint (reference: test.py:123).
+"""
+
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    from mr_mt3_tpu.utils.config import load_config, parse_cli
+    config_name, config_dir, overrides = parse_cli(
+        sys.argv[1:] if argv is None else argv)
+    cfg = load_config(config_dir or os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'configs'), config_name, overrides)
+
+    from mr_mt3_tpu.infer.scores import get_scores
+    from mr_mt3_tpu.utils import builders
+
+    assert cfg.get('path'), 'path=<checkpoint> is required'
+    assert cfg.eval.get('exp_tag_name'), 'eval.exp_tag_name is required'
+    assert cfg.eval.get('audio_dir'), 'eval.audio_dir is required'
+
+    model = builders.build_model(cfg)
+    params, step = builders.load_weights(str(cfg.path), model)
+    print(f'loaded weights from {cfg.path} (step {step})')
+
+    files = sorted(glob.glob(cfg.eval.audio_dir))
+    if cfg.eval.eval_dataset == 'NSynth':
+        # no vocals/mallets in the training vocab (reference: test.py:117-119)
+        files = [f for f in files if 'vocal' not in f and 'mallet' not in f]
+    if cfg.eval.get('eval_first_n_examples'):
+        files = files[:int(cfg.eval.eval_first_n_examples)]
+
+    mel_norm = 'pretrained/mt3.pth' not in str(cfg.path)
+    ground_truth = cfg.eval.get('midi_dir') or cfg.dataset.test.root_dir
+
+    scores = get_scores(
+        model=model,
+        variables={'params': params},
+        eval_audio_dir=files,
+        mel_norm=mel_norm,
+        eval_dataset=cfg.eval.eval_dataset,
+        exp_tag_name=cfg.eval.exp_tag_name,
+        ground_truth_midi_dir=ground_truth,
+        contiguous_inference=bool(cfg.eval.get('contiguous_inference')),
+        use_tf_spectral_ops=bool(cfg.eval.get('use_tf_spectral_ops')),
+        batch_size=int(cfg.eval.get('batch_size') or 8),
+    )
+    return scores
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,130 @@
+"""Config-system tests + end-to-end CLI train/test runs on the fixture."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from mr_mt3_tpu.utils.config import load_config, parse_cli
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), '..', 'configs')
+
+
+class TestConfigSystem:
+    def test_defaults_and_choices(self):
+        cfg = load_config(CONFIG_DIR, 'config')
+        assert cfg.model_type == 'MT3Net'
+        assert cfg.dataset_type == 'Slakh'
+        assert cfg.model.config.d_model == 512
+        assert cfg.dataset.train.mel_length == 256
+
+    def test_interpolation(self):
+        cfg = load_config(CONFIG_DIR, 'config',
+                          overrides=['mel_length=128'])
+        assert cfg.dataset.train.mel_length == 128
+        assert cfg.optim.num_epochs == cfg.num_epochs
+        assert cfg.out_dir == 'runs/MT3Net_Slakh'
+
+    def test_group_swap(self):
+        cfg = load_config(CONFIG_DIR, 'config_slakh_segmem',
+                          overrides=['model=MT3NetSegMemV2WithPrev',
+                                     'dataset=SlakhPrev',
+                                     'model_segmem_length=64'])
+        assert cfg.model_type == 'MT3NetSegMemV2WithPrev'
+        assert cfg.model.segmem_variant == 'encoder_append'
+        assert cfg.model.segmem_length == 64
+        assert 'SlakhDatasetWithPrevSegmem' in cfg.dataset.train._target_
+
+    def test_dotted_override(self):
+        cfg = load_config(CONFIG_DIR, 'config',
+                          overrides=['optim.lr=1e-3',
+                                     'model.config.num_layers=2'])
+        assert cfg.optim.lr == 1e-3
+        assert cfg.model.config.num_layers == 2
+
+    def test_parse_cli(self):
+        name, cdir, ovs = parse_cli(
+            ['--config-name=config_slakh_segmem', 'model=X', 'a.b=3'])
+        assert name == 'config_slakh_segmem'
+        assert cdir is None
+        assert ovs == ['model=X', 'a.b=3']
+
+    def test_all_reference_model_configs_load(self):
+        for model in ['MT3Net', 'MT3NetWeightedLoss', 'MT3NetSegMem',
+                      'MT3NetSegMemV2', 'MT3NetSegMemV2WithPrev',
+                      'MT3NetSegMemV2WithPrevFineTune']:
+            cfg = load_config(CONFIG_DIR, 'config_slakh_segmem',
+                              overrides=[f'model={model}'])
+            assert cfg.model.config.vocab_size == 1536
+            assert cfg.model.task.loss in ('ce', 'weighted')
+
+    def test_builders_model_variants(self):
+        from mr_mt3_tpu.utils import builders
+        cfg = load_config(CONFIG_DIR, 'config_slakh_segmem',
+                          overrides=['model=MT3NetSegMemV2WithPrev'])
+        model = builders.build_model(cfg)
+        assert model.cfg.segmem_variant == 'encoder_append'
+        assert model.cfg.num_encoder_layers == 8
+        cfg2 = load_config(CONFIG_DIR, 'config')
+        model2 = builders.build_model(cfg2)
+        assert model2.cfg.segmem_variant is None
+
+
+TINY_OVERRIDES = [
+    'model.config.d_model=32', 'model.config.d_kv=8',
+    'model.config.d_ff=48', 'model.config.num_heads=4',
+    'model.config.num_layers=1', 'model.config.num_decoder_layers=1',
+    'num_epochs=1', 'optim.warmup_steps=2', 'optim.num_steps_per_epoch=2',
+    'dataloader.train.num_workers=2', 'dataloader.val.num_workers=1',
+    'trainer.log_every_n_steps=1',
+]
+
+
+@pytest.mark.slow
+class TestCliEndToEnd:
+    def test_train_then_test(self, tmp_path, slakh_root):
+        import test as test_cli
+        import train as train_cli
+
+        out_dir = tmp_path / 'run'
+        argv = [
+            '--config-name=config',
+            f'dataset.train.root_dir={slakh_root}',
+            f'dataset.val.root_dir={slakh_root}',
+            f'dataset.test.root_dir={slakh_root}',
+            f'out_dir={out_dir}',
+            'split_frame_length=256',
+            'num_rows_per_batch=2',
+        ] + TINY_OVERRIDES
+        train_cli.main(argv)
+
+        ckpt = out_dir / 'checkpoints' / 'final'
+        assert ckpt.exists()
+        metrics = (out_dir / 'logs' / 'metrics.jsonl').read_text()
+        assert 'train_loss' in metrics and 'val_loss' in metrics
+
+        midi_out = tmp_path / 'test_midis'
+        test_argv = [
+            '--config-name=config',
+            f'path={ckpt}',
+            f'dataset.test.root_dir={slakh_root}',
+            f'eval.audio_dir={slakh_root}/*/mix_16k.wav',
+            f'eval.exp_tag_name={midi_out}',
+            f'eval.midi_dir={slakh_root}',
+            'eval.eval_dataset=Slakh',
+            'eval.batch_size=2',
+        ] + TINY_OVERRIDES
+        # fixture ground truth is per-stem; build all_src_v2.mid like
+        # midi_script.py would
+        from mr_mt3_tpu.scripts.merge_slakh_midi import merge_song_midis
+        for song in os.listdir(slakh_root):
+            merge_song_midis(os.path.join(slakh_root, song))
+        scores = test_cli.main(test_argv)
+        assert 'Onset F1' in scores
+        assert (midi_out / 'Track00001' / 'mix.mid').exists()
+
+
+# reuse the corpus fixture from test_data
+from tests.test_data import slakh_root  # noqa: E402,F401

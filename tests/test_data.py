@@ -1,0 +1,201 @@
+"""Dataset pipeline tests on a fabricated Slakh-format corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mr_mt3_tpu.audio import write_wav
+from mr_mt3_tpu.codec import DECODED_EOS_ID
+from mr_mt3_tpu.codec import note_sequences as nsq
+from mr_mt3_tpu.codec.combine import event_predictions_to_ns
+from mr_mt3_tpu.data import (
+    ComMUDataset,
+    DataLoader,
+    SlakhDataset,
+    SlakhDatasetWithPrevSegmem,
+    SlakhDatasetWithPrevSegmemAugment,
+    collate_batch,
+)
+from mr_mt3_tpu.midi import note_sequence_to_midi_file
+
+
+def _write_track(path, notes, program=0, is_drum=False):
+    ns = nsq.NoteSequence()
+    for start, end, pitch in notes:
+        ns.add_note(start_time=start, end_time=end, pitch=pitch, velocity=100,
+                    program=program, is_drum=is_drum,
+                    instrument=9 if is_drum else 0)
+        ns.total_time = max(ns.total_time, end)
+    note_sequence_to_midi_file(ns, path)
+
+
+@pytest.fixture(scope='module')
+def slakh_root(tmp_path_factory):
+    """Two-song Slakh-format corpus, ~20 s each at 16 kHz."""
+    root = tmp_path_factory.mktemp('slakh')
+    rng = np.random.default_rng(0)
+    for si, song in enumerate(['Track00001', 'Track00002']):
+        d = root / song
+        (d / 'MIDI').mkdir(parents=True)
+        dur = 20.0
+        audio = (rng.normal(size=int(16000 * dur)) * 0.05).astype(np.float32)
+        write_wav(d / 'mix_16k.wav', audio, 16000)
+        piano = [(0.5 + i, 0.5 + i + 0.4, 60 + (i % 12)) for i in range(18)]
+        _write_track(d / 'MIDI' / 'S00.mid', piano, program=0)
+        bass = [(0.25 + 2 * i, 0.25 + 2 * i + 1.0, 40 + (i % 5))
+                for i in range(9)]
+        _write_track(d / 'MIDI' / 'S01.mid', bass, program=33)
+        drums = [(0.5 * i, 0.5 * i + 0.05, 36) for i in range(36)]
+        _write_track(d / 'MIDI' / 'S02.mid', drums, is_drum=True)
+        with open(d / 'inst_names.json', 'w') as f:
+            json.dump({'S00': 'Acoustic Piano', 'S01': 'Electric Bass',
+                       'S02': 'Drums'}, f)
+    return str(root)
+
+
+class TestSlakhDataset:
+    def test_item_shapes(self, slakh_root):
+        ds = SlakhDataset(slakh_root, shuffle=False, num_rows_per_batch=4,
+                          split_frame_length=256)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['audio'].shape == (4, 256 * 128)
+        assert item['targets'].shape == (4, 1024)
+        assert item['valid_frames'].shape == (4,)
+        assert item['targets'].dtype == np.int64
+        # model-space targets: values are -100 pads or >= 1
+        t = item['targets']
+        assert ((t == -100) | (t >= 1)).all()
+        # every row ends with EOS before the -100 padding
+        for row in t:
+            pads = np.where(row == -100)[0]
+            if len(pads):
+                assert row[pads[0] - 1] == 1
+
+    def test_deterministic_mode_reproducible(self, slakh_root):
+        ds1 = SlakhDataset(slakh_root, shuffle=False, is_deterministic=True,
+                           is_randomize_tokens=False, num_rows_per_batch=2,
+                           split_frame_length=256)
+        ds2 = SlakhDataset(slakh_root, shuffle=False, is_deterministic=True,
+                           is_randomize_tokens=False, num_rows_per_batch=2,
+                           split_frame_length=256)
+        a, b = ds1[0], ds2[0]
+        np.testing.assert_array_equal(a['targets'], b['targets'])
+        np.testing.assert_array_equal(a['audio'], b['audio'])
+
+    def test_targets_decode_back_to_notes(self, slakh_root):
+        """Segment targets, decoded as predictions, must reproduce the
+        source notes in the segment's time range."""
+        ds = SlakhDataset(slakh_root, shuffle=False, is_deterministic=True,
+                          is_randomize_tokens=False, num_rows_per_batch=8,
+                          split_frame_length=256)
+        song = ds._load_song(0)
+        item = ds[0]
+        predictions = []
+        for i, row in enumerate(item['targets']):
+            # decode model-space -> codec space like the inference handler
+            after_eos = np.cumsum(row == 1)
+            toks = np.where(after_eos > 0, DECODED_EOS_ID, row - 3)
+            toks = toks[:np.argmax(toks == DECODED_EOS_ID)]
+            # deterministic mode: segment i starts at window i (256 frames)
+            predictions.append({
+                'est_tokens': toks,
+                'start_time': i * 256 / 125.0,
+                'raw_inputs': [],
+            })
+        result = event_predictions_to_ns(
+            predictions, ds.codec, nsq.NoteEncodingWithTiesSpec)
+        assert result['est_invalid_events'] == 0
+        decoded = result['est_ns']
+        # count onsets within the decoded time span vs the ground truth
+        span_end = 8 * 256 / 125.0
+        expect = [n for n in song_notes(slakh_root, 0)
+                  if n[0] < span_end - 0.05]
+        got = [n for n in decoded.notes]
+        assert abs(len(got) - len(expect)) <= 2  # boundary-note slack
+
+    def test_randomize_tokens_changes_order_not_content(self, slakh_root):
+        ds_plain = SlakhDataset(slakh_root, shuffle=False,
+                                is_deterministic=True,
+                                is_randomize_tokens=False,
+                                num_rows_per_batch=2,
+                                split_frame_length=256)
+        ds_rand = SlakhDataset(slakh_root, shuffle=False,
+                               is_deterministic=False,
+                               is_randomize_tokens=True,
+                               num_rows_per_batch=2,
+                               split_frame_length=256, seed=5)
+        # compare multisets of non-pad tokens for the same first segment:
+        # use deterministic sampling for both by pinning the rng choices
+        # (rand ds samples random chunks, so just check it produces valid
+        # targets)
+        item = ds_rand[0]
+        t = item['targets']
+        assert ((t == -100) | (t >= 1)).all()
+
+
+def song_notes(root, idx):
+    """Ground-truth (start, end, pitch) tuples for fixture song idx."""
+    notes = []
+    for i in range(18):
+        notes.append((0.5 + i, 0.5 + i + 0.4, 60 + (i % 12)))
+    for i in range(9):
+        notes.append((0.25 + 2 * i, 0.25 + 2 * i + 1.0, 40 + (i % 5)))
+    for i in range(36):
+        notes.append((0.5 * i, 0.5 * i + 0.05, 36))
+    return notes
+
+
+class TestPrevSegmem:
+    def test_prev_targets_present(self, slakh_root):
+        ds = SlakhDatasetWithPrevSegmem(
+            slakh_root, shuffle=False, num_rows_per_batch=3,
+            split_frame_length=2000, seed=1)
+        item = ds[0]
+        assert item['targets_prev'].shape == item['targets'].shape
+        t = item['targets_prev']
+        assert ((t == -100) | (t >= 1)).all()
+
+    def test_empty_prev_is_tie_eos(self, slakh_root):
+        """When the chunk starts < mel_length into the window, prev memory
+        is the [tie, shift] placeholder (+3 offset, then EOS pad)."""
+        ds = SlakhDatasetWithPrevSegmem(
+            slakh_root, shuffle=False, num_rows_per_batch=2,
+            split_frame_length=256,  # windows == mel_length: no slack
+            is_randomize_tokens=False, seed=1)
+        item = ds[0]
+        for row in item['targets_prev']:
+            np.testing.assert_array_equal(row[:3], [1134, 4, 1])
+
+    def test_augment_variant(self, slakh_root):
+        ds = SlakhDatasetWithPrevSegmemAugment(
+            slakh_root, shuffle=False, num_rows_per_batch=2,
+            split_frame_length=2000, prev_augment_frames=3, seed=2)
+        item = ds[0]
+        assert 'targets_prev' in item
+
+
+class TestLoader:
+    def test_collate_concatenates_rows(self, slakh_root):
+        ds = SlakhDataset(slakh_root, shuffle=False, num_rows_per_batch=3,
+                          split_frame_length=256)
+        batch = collate_batch([ds[0], ds[1]])
+        assert batch['audio'].shape[0] == 6
+        assert batch['targets'].shape == (6, 1024)
+
+    def test_loader_iterates_all(self, slakh_root):
+        ds = SlakhDataset(slakh_root, shuffle=False, num_rows_per_batch=2,
+                          split_frame_length=256)
+        loader = DataLoader(ds, batch_size=1, shuffle=True, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert b['targets'].shape == (2, 1024)
+
+    def test_loader_len(self, slakh_root):
+        ds = SlakhDataset(slakh_root, shuffle=False, num_rows_per_batch=2,
+                          split_frame_length=256)
+        assert len(DataLoader(ds, batch_size=2)) == 1
+        assert len(DataLoader(ds, batch_size=1)) == 2

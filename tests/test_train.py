@@ -1,0 +1,220 @@
+"""Training stack tests: losses vs torch oracle, schedule quirk parity,
+overfit smoke, and multi-device sharded steps on the virtual CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.parallel import make_mesh, param_shardings, shard_batch
+from mr_mt3_tpu.train import (
+    Trainer,
+    TrainState,
+    cosine_schedule_with_warmup,
+    cross_entropy_loss,
+    make_optimizer,
+    make_train_step,
+    weighted_instrument_loss,
+)
+from mr_mt3_tpu.train.trainer import create_train_state, make_eval_step
+
+TINY = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48, num_heads=4,
+                 num_encoder_layers=1, num_decoder_layers=1, mel_bins=512,
+                 dropout_rate=0.0)
+
+
+def _tiny_batch(rng, rows=4, with_prev=False):
+    batch = {
+        'audio': rng.normal(size=(rows, 256 * 128)).astype(np.float32) * 0.1,
+        'valid_frames': np.full((rows,), 256, np.int32),
+        'targets': np.concatenate([
+            rng.integers(3, 1391, (rows, 20)),
+            np.ones((rows, 1), np.int64),
+            np.full((rows, 1003), -100, np.int64)], axis=1),
+    }
+    if with_prev:
+        batch['targets_prev'] = batch['targets'].copy()
+    return batch
+
+
+class TestLossesVsTorch:
+    def test_cross_entropy_matches_torch(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(3, 7, 11)).astype(np.float32)
+        targets = rng.integers(0, 11, (3, 7))
+        targets[0, 5:] = -100
+        mine = float(cross_entropy_loss(jnp.asarray(logits),
+                                        jnp.asarray(targets)))
+        oracle = torch.nn.CrossEntropyLoss(ignore_index=-100)(
+            torch.from_numpy(logits).view(-1, 11),
+            torch.from_numpy(targets).view(-1)).item()
+        assert mine == pytest.approx(oracle, rel=1e-5)
+
+    def test_weighted_loss_matches_torch_formula(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=(2, 9, 1536)).astype(np.float32)
+        targets = rng.integers(3, 1391, (2, 9))
+        targets[:, 4] = 1140   # instrument tokens
+        targets[:, 8] = -100
+        mine, logs = weighted_instrument_loss(jnp.asarray(logits),
+                                              jnp.asarray(targets))
+        lt = torch.from_numpy(logits).view(-1, 1536)
+        tt = torch.from_numpy(targets).view(-1)
+        raw = torch.nn.CrossEntropyLoss(reduction='none')(lt, tt)
+        inst_mask = (tt >= 1135) & (tt <= 1262)
+        pad_mask = tt != -100
+        loss_inst = torch.masked_select(raw, inst_mask)
+        loss_masked = torch.masked_select(raw, pad_mask)
+        oracle = ((loss_masked.sum() + 2 * loss_inst.sum()) /
+                  (loss_inst.shape[0] + loss_masked.shape[0])).item()
+        assert float(mine) == pytest.approx(oracle, rel=1e-5)
+
+
+class TestScheduleParity:
+    def test_matches_torch_lambdalr(self):
+        """Replicates the reference scheduler exactly, min_lr quirk included
+        (reference: utils.py:25-62)."""
+        torch = pytest.importorskip('torch')
+        import math
+        base_lr, warmup, total, min_lr = 2e-4, 10, 100, 1e-4
+
+        def lr_lambda(current_step):
+            if current_step < warmup:
+                return float(current_step) / float(max(1, warmup))
+            progress = float(current_step - warmup) / float(
+                max(1, total - warmup))
+            return max(min_lr, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+        param = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.AdamW([param], base_lr)
+        sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda)
+        mine = cosine_schedule_with_warmup(base_lr, warmup, total,
+                                           min_lr_multiplier=min_lr)
+        for step in range(0, 120):
+            oracle = opt.param_groups[0]['lr']
+            # fp32 cosine in the jax schedule vs fp64 in torch
+            assert float(mine(step)) == pytest.approx(
+                oracle, rel=1e-3, abs=1e-9), step
+            opt.step()
+            sched.step()
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self):
+        model = MT3(TINY)
+        rng = np.random.default_rng(2)
+        batch = _tiny_batch(rng)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(3e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        step = make_train_step(model, optimizer)
+        key = jax.random.PRNGKey(1)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        first = None
+        for i in range(30):
+            state, metrics = step(state, jb, key)
+            if first is None:
+                first = float(metrics['loss'])
+        last = float(metrics['loss'])
+        assert last < first * 0.5, (first, last)
+
+    def test_segmem_model_train_step(self):
+        cfg = TINY.replace(segmem_variant='encoder_append', segmem_length=8)
+        model = MT3(cfg)
+        rng = np.random.default_rng(3)
+        batch = _tiny_batch(rng, with_prev=True)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        step = make_train_step(model, optimizer)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step(state, jb, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics['loss']))
+
+    def test_multi_device_data_parallel(self):
+        """8 virtual CPU devices: batch sharded over data axis."""
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(data=8, model=1)
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        params = jax.device_put(variables['params'],
+                                param_shardings(variables['params'], mesh))
+        state = create_train_state(params, optimizer)
+        step = make_train_step(model, optimizer)
+        batch = _tiny_batch(np.random.default_rng(4), rows=8)
+        sharded = shard_batch(batch, mesh)
+        state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics['loss']))
+
+    def test_tensor_parallel_mesh(self):
+        """data=4 x model=2 mesh with TP param shardings compiles + runs."""
+        mesh = make_mesh(data=4, model=2)
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        shardings = param_shardings(variables['params'], mesh)
+        # q kernel must actually be sharded on the model axis
+        from jax.sharding import PartitionSpec as P
+        q_sh = shardings['encoder']['block_0']['self_attn']['q']['kernel']
+        assert q_sh.spec == P(None, 'model')
+        params = jax.device_put(variables['params'], shardings)
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(params, optimizer)
+        step = make_train_step(model, optimizer)
+        batch = _tiny_batch(np.random.default_rng(5), rows=4)
+        sharded = shard_batch(batch, mesh)
+        state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics['loss']))
+
+    def test_uneven_batch_padding(self):
+        mesh = make_mesh(data=8, model=1)
+        batch = _tiny_batch(np.random.default_rng(6), rows=5)
+        sharded = shard_batch(batch, mesh)
+        assert sharded['audio'].shape[0] == 8
+
+
+class TestTrainerLoop:
+    def test_fit_with_val_and_checkpoints(self, tmp_path):
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+
+        rng = np.random.default_rng(7)
+        batches = [_tiny_batch(rng, rows=2) for _ in range(2)]
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1),
+                          log_every_n_steps=1)
+        state = trainer.fit(state, batches, val_loader=batches,
+                            num_epochs=2)
+        assert int(state.step) == 4
+        ckpts = os.listdir(trainer._ckpt_dir)
+        assert 'last' in ckpts
+        assert any(c.startswith('epoch=') for c in ckpts)
+        # metrics written
+        lines = open(tmp_path / 'run' / 'logs' / 'metrics.jsonl').readlines()
+        assert any('val_loss' in ln for ln in lines)
+        # restore round trip
+        params, step = trainer.restore_params('last', state.params)
+        assert step == 4
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]))

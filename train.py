@@ -1,0 +1,127 @@
+"""Training entry point.
+
+CLI mirrors the reference (reference: train.py, train.sh):
+
+  python train.py --config-name=config_slakh_segmem \
+      model=MT3NetSegMemV2WithPrev dataset=SlakhPrev \
+      split_frame_length=2000 model_segmem_length=64 ...
+
+Differences: checkpoints are Orbax directories (reference .pth/.pt torch
+files still load for warm starts via `path=...`), and devices form a JAX
+('data', 'model') mesh instead of Lightning DDP.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    from mr_mt3_tpu.utils.config import load_config, parse_cli
+    config_name, config_dir, overrides = parse_cli(
+        sys.argv[1:] if argv is None else argv)
+    cfg = load_config(config_dir or os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'configs'), config_name, overrides)
+
+    from mr_mt3_tpu.data import DataLoader
+    from mr_mt3_tpu.parallel import make_mesh, param_shardings
+    from mr_mt3_tpu.train.trainer import (
+        CheckpointPolicy,
+        Trainer,
+        create_train_state,
+    )
+    from mr_mt3_tpu.utils import builders
+
+    seed = int(cfg.seed)
+    np.random.seed(seed)
+
+    model = builders.build_model(cfg)
+    optimizer, schedule = builders.build_optimizer(cfg)
+    train_ds, val_ds = builders.build_datasets(cfg)
+
+    train_loader = DataLoader(
+        train_ds, batch_size=int(cfg.dataloader.train.batch_size),
+        num_workers=int(cfg.dataloader.train.num_workers) or 1,
+        shuffle=True, seed=seed)
+    val_loader = DataLoader(
+        val_ds, batch_size=int(cfg.dataloader.val.batch_size),
+        num_workers=max(1, int(cfg.dataloader.val.num_workers)),
+        shuffle=False, seed=seed)
+
+    mesh = make_mesh(model=int(cfg.get('model_devices') or 1))
+    out_dir = cfg.get('out_dir') or 'runs/default'
+
+    eval_hook = None
+    if cfg.eval.get('audio_dir'):
+        import glob as globlib
+
+        from mr_mt3_tpu.infer.scores import get_scores
+
+        def eval_hook(params, epoch):
+            files = sorted(globlib.glob(cfg.eval.audio_dir))
+            if cfg.eval.get('eval_first_n_examples'):
+                files = files[:int(cfg.eval.eval_first_n_examples)]
+            scores = get_scores(
+                model=model, variables={'params': params},
+                eval_audio_dir=files,
+                eval_dataset=cfg.eval.eval_dataset,
+                exp_tag_name=os.path.join(out_dir, cfg.eval.exp_tag_name),
+                ground_truth_midi_dir=cfg.eval.midi_dir,
+                contiguous_inference=bool(
+                    cfg.eval.get('contiguous_inference')),
+                use_tf_spectral_ops=bool(
+                    cfg.eval.get('use_tf_spectral_ops')),
+                batch_size=int(cfg.eval.get('batch_size') or 8),
+                verbose=False)
+            return {
+                'f1_flat': scores.get('Onset F1', 0.0),
+                'f1_midi_class': scores.get(
+                    'Onset + program F1 (midi_class)', 0.0),
+                'f1_full': scores.get('Onset + program F1 (full)', 0.0),
+            }
+
+    mc = cfg.get('modelcheckpoint') or {}
+    trainer = Trainer(
+        model, optimizer,
+        loss_type=cfg.model.task.loss,
+        out_dir=out_dir,
+        mesh=mesh,
+        checkpoint_policy=CheckpointPolicy(
+            monitor=mc.get('monitor', 'val_loss'),
+            mode=mc.get('mode', 'min'),
+            save_last=bool(mc.get('save_last', True)),
+            save_top_k=int(mc.get('save_top_k', 5)),
+            every_n_epochs=int(mc.get('every_n_epochs', 1) or 1)),
+        log_every_n_steps=int(cfg.trainer.get('log_every_n_steps', 100)),
+        check_val_every_n_epoch=int(
+            cfg.trainer.get('check_val_every_n_epoch', 1) or 1),
+        eval_hook=eval_hook,
+        eval_after_num_epoch=int(cfg.eval.get('eval_after_num_epoch') or 0),
+        eval_per_epoch=int(cfg.eval.get('eval_per_epoch') or 1),
+        lr_schedule=schedule,
+        seed=seed)
+
+    params = builders.init_params(model, seed)
+    start_epoch = 0
+    path = cfg.get('path')
+    if path:
+        # warm start / resume (reference: train.py:62-103)
+        loaded, step = builders.load_weights(str(path), model,
+                                             like_params=params)
+        params = loaded
+        print(f'loaded weights from {path} (step {step})')
+
+    params = jax.device_put(params, param_shardings(params, mesh))
+    state = create_train_state(params, optimizer)
+
+    num_epochs = int(cfg.trainer.max_epochs)
+    state = trainer.fit(state, train_loader, val_loader,
+                        num_epochs=num_epochs, start_epoch=start_epoch)
+    trainer.save_checkpoint(state, 'final')
+    print(f'saved final checkpoint under {trainer._ckpt_dir}/final')
+
+
+if __name__ == '__main__':
+    main()
