@@ -1,0 +1,73 @@
+"""Measure the PyTorch-CPU reference-equivalent decode baseline.
+
+The reference decodes by re-running the whole decoder over the growing
+sequence each step with use_cache=False (reference: models/t5.py:267-295).
+Per-step cost at prefix length n is ~a + b*n; this measures it at several n
+with stock HF T5 blocks wired the reference's way and integrates over the
+full 1024 steps, writing benchmarks/baseline_torch_cpu.json for bench.py.
+
+Usage: python tools/measure_torch_baseline.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    t5c = transformers.T5Config(
+        vocab_size=1536, d_model=512, d_kv=64, d_ff=1024, num_heads=6,
+        num_layers=8, num_decoder_layers=8, feed_forward_proj='gated-gelu',
+        dropout_rate=0.0, tie_word_embeddings=False, use_cache=False,
+        decoder_start_token_id=0)
+    hf = transformers.T5ForConditionalGeneration(t5c).eval()
+    batch = 8
+    enc_out = torch.randn(batch, 256, 512)
+    pos = torch.randn(5000, 512)
+
+    def step_cost(n, iters=3):
+        ids = torch.randint(0, 1536, (batch, n))
+        with torch.no_grad():
+            dec_in = hf.shared(ids) + pos[:n]
+            hf.decoder(inputs_embeds=dec_in, encoder_hidden_states=enc_out)
+            t0 = time.time()
+            for _ in range(iters):
+                out = hf.decoder(
+                    inputs_embeds=dec_in,
+                    encoder_hidden_states=enc_out).last_hidden_state
+                hf.lm_head(out[:, -1:])
+            return (time.time() - t0) / iters
+
+    ns = [32, 128, 384, 768]
+    cs = [step_cost(n) for n in ns]
+    design = np.vstack([np.ones(len(ns)), ns]).T
+    (a, b), *_ = np.linalg.lstsq(design, np.array(cs), rcond=None)
+    total = float(sum(a + b * n for n in range(1, 1025)))
+    audio_sec = batch * 256 * 128 / 16000
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'benchmarks',
+        'baseline_torch_cpu.json')
+    with open(out_path, 'w') as f:
+        json.dump({
+            'description': ('PyTorch-CPU reference-equivalent greedy decode '
+                            '(no KV cache, batch 8 segments, 1024 steps), '
+                            'per-step cost fit a+b*n integrated'),
+            'machine': f'{os.cpu_count()} visible CPU(s), single process',
+            'prefix_ms': {str(n): c * 1000 for n, c in zip(ns, cs)},
+            'fit_a_ms': a * 1000, 'fit_b_ms': b * 1000,
+            'total_seconds_1024_steps': total,
+            'audio_seconds': audio_sec,
+            'rtf': audio_sec / total,
+        }, f, indent=1)
+    print(f'baseline RTF {audio_sec / total:.4f} -> {out_path}')
+
+
+if __name__ == '__main__':
+    main()
