@@ -413,6 +413,38 @@ class MT3(nn.Module):
         dtype = cfg.activation_dtype
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
+    def prefill_cache(self, prefix_embeds: jnp.ndarray,
+                      self_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                      cross_kv: Dict[str, Any]) -> Tuple:
+        """Run a decoder-input prefix through the stack, filling cache slots
+        [0, P).
+
+        Used by the v1 segmem decode where the memory embedding is
+        *prepended* to the decoder inputs (reference:
+        models/t5_segmem.py:207-213); the prefix occupies positions 0..P-1
+        and generated tokens continue at position P.
+        """
+        p = prefix_embeds.shape[1]
+        x = prefix_embeds + self.decoder.pos_table[:p].astype(
+            prefix_embeds.dtype)
+        causal = jnp.tril(jnp.ones((p, p), dtype=bool))
+        mask = jnp.where(causal, 0.0, -1e9).astype(x.dtype)
+        k_cache, v_cache = self_kv
+        new_k, new_v = [], []
+        for i, block in enumerate(self.decoder.blocks):
+            h = block.self_norm(x)
+            k, v = block.self_attn.project_kv(h)
+            new_k.append(jax.lax.dynamic_update_slice_in_dim(
+                k_cache[i], k, 0, axis=1))
+            new_v.append(jax.lax.dynamic_update_slice_in_dim(
+                v_cache[i], v, 0, axis=1))
+            x = x + block.self_attn.attend(h, k, v, mask)
+            h = block.cross_norm(x)
+            x = x + block.cross_attn.attend(h, cross_kv['k'][i],
+                                            cross_kv['v'][i], None)
+            x = x + block.ff(block.ff_norm(x), deterministic=True)
+        return (jnp.stack(new_k), jnp.stack(new_v))
+
 
 def batch_internal_segmem_ids(decoder_input_ids: jnp.ndarray) -> jnp.ndarray:
     """Row b's memory = row b-1's (left-shifted) ids; row 0 gets [1, 0, ...].

@@ -30,13 +30,25 @@ from mr_mt3_tpu.models.mt3 import MT3
 
 
 def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
-                 max_length: int) -> jnp.ndarray:
-    """Shared decode loop. encoder_out: (B, Lenc, D) -> tokens (B, max_length+1)."""
+                 max_length: int,
+                 decoder_prefix_embeds: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+    """Shared decode loop. encoder_out: (B, Lenc, D) -> tokens (B, max_length+1).
+
+    With decoder_prefix_embeds (B, P, D), the prefix is prefilled into the
+    KV cache and generation starts at position P (v1 segmem semantics).
+    """
     cfg = model.cfg
     batch = encoder_out.shape[0]
+    prefix_len = (0 if decoder_prefix_embeds is None
+                  else decoder_prefix_embeds.shape[1])
     cross_kv = model.apply(variables, encoder_out,
                            method=MT3.precompute_cross_kv)
-    cache = model.apply(variables, batch, max_length, method=MT3.init_cache)
+    cache = model.apply(variables, batch, max_length + prefix_len,
+                        method=MT3.init_cache)
+    if prefix_len:
+        cache = model.apply(variables, decoder_prefix_embeds, cache,
+                            cross_kv, method=MT3.prefill_cache)
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     finished = jnp.zeros((batch,), bool)
@@ -48,8 +60,8 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
     def body(state):
         i, tokens, cache, finished = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        logits, cache = model.apply(variables, cur, i, cache, cross_kv,
-                                    method=MT3.decode_step)
+        logits, cache = model.apply(variables, cur, i + prefix_len, cache,
+                                    cross_kv, method=MT3.decode_step)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # finished rows emit pad; EOS marks a row finished
         # (reference: models/t5.py:286-295)
@@ -129,12 +141,10 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
             enc_aug = jnp.concatenate([enc_i, segmem], axis=1)
             tokens = _greedy_loop(model, variables, enc_aug, max_length)
         elif cfg.segmem_variant == 'decoder_prepend':
-            # v1 feeds memory as a decoder prefix; incremental decoding of
-            # that variant needs prefix slots in the cache — not yet wired,
-            # fall back to encoder append semantics is NOT valid, so raise.
-            raise NotImplementedError(
-                'decoder_prepend segmem decode is handled by '
-                'prefix_greedy_decode')
+            # v1: memory becomes a decoder-input prefix, prefilled into the
+            # KV cache (reference: models/t5_segmem.py:207-236 generate_2)
+            tokens = _greedy_loop(model, variables, enc_i, max_length,
+                                  decoder_prefix_embeds=segmem)
         else:
             tokens = _greedy_loop(model, variables, enc_i, max_length)
         # next memory = this segment's tokens incl. start id, cropped to

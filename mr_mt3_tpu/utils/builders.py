@@ -45,21 +45,27 @@ def build_optimizer(cfg: ConfigNode):
     optim = cfg.optim
     use_schedule = bool(task.get('use_scheduler', True))
     total_steps = int(optim.num_steps_per_epoch) * int(optim.num_epochs)
-    optimizer = make_optimizer(
-        lr=float(optim.lr),
-        warmup_steps=int(optim.warmup_steps or 0) or None,
-        total_steps=total_steps,
-        min_lr=float(optim.min_lr or 0.0),
-        use_schedule=use_schedule and int(optim.warmup_steps or 0) >= 0,
-    ) if use_schedule else make_optimizer(lr=float(optim.lr),
-                                          use_schedule=False)
     if use_schedule:
+        optimizer = make_optimizer(
+            lr=float(optim.lr),
+            warmup_steps=int(optim.warmup_steps or 0),
+            total_steps=total_steps,
+            min_lr=float(optim.min_lr or 0.0),
+            use_schedule=True)
         from mr_mt3_tpu.train.optim import cosine_schedule_with_warmup
         schedule = cosine_schedule_with_warmup(
             float(optim.lr), int(optim.warmup_steps), total_steps,
             min_lr_multiplier=float(optim.min_lr or 0.0))
     else:
+        optimizer = make_optimizer(lr=float(optim.lr), use_schedule=False)
         schedule = None
+
+    grad_accum = int(cfg.get('grad_accum') or 1)
+    if grad_accum > 1:
+        # gradient accumulation (reference: accumulate_grad_batches,
+        # config/config.yaml:20,42)
+        import optax
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accum)
     return optimizer, schedule
 
 

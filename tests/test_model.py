@@ -121,7 +121,8 @@ class TestPositionalTable:
 class TestCacheDecode:
     """KV-cache incremental decode must equal full-sequence attention."""
 
-    @pytest.mark.parametrize('variant', [None, 'encoder_append'])
+    @pytest.mark.parametrize('variant',
+                             [None, 'encoder_append', 'decoder_prepend'])
     def test_greedy_matches_teacher_forced(self, variant):
         cfg = SMALL.replace(segmem_variant=variant, segmem_length=4)
         model, variables = _init(cfg)
@@ -136,6 +137,7 @@ class TestCacheDecode:
                                           max_length=max_len)[:, 0]
             enc_kwargs = {'targets_prev': initial_segmem_tokens(
                 cfg, 3, max_len)}
+        assert np.asarray(tokens).shape == (3, max_len + 1)
         tokens = np.asarray(tokens)
         assert tokens.shape == (3, max_len + 1)
         assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
