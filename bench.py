@@ -22,6 +22,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
     from mr_mt3_tpu.ops.decode import greedy_decode
 

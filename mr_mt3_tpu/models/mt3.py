@@ -361,14 +361,16 @@ class MT3(nn.Module):
         return {'k': jnp.stack(ks), 'v': jnp.stack(vs)}
 
     def decode_step(self, tokens: jnp.ndarray, position: jnp.ndarray,
-                    self_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                    self_kv: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],
                     cross_kv: Dict[str, Any]) -> Tuple[jnp.ndarray, Tuple]:
         """One greedy-decode step.
 
         tokens: (B,) current input token ids.
         position: scalar int32 — decode position (0-based).
-        self_kv: (k, v) arrays (num_layers, B, max_len, H, Dk) holding the
-          self-attention cache; slots >= position are zero/unused.
+        self_kv: per-layer ((B, max_len, H, Dk) k, v) pairs. A flat tuple
+          pytree (not a stacked array) so the while-loop carry aliases each
+          layer's buffer in place — stacking would copy the whole cache
+          every step.
         cross_kv: precompute_cross_kv output.
 
         Returns (logits (B, vocab), updated self_kv).
@@ -378,24 +380,23 @@ class MT3(nn.Module):
         x = x + jax.lax.dynamic_slice_in_dim(
             self.decoder.pos_table, position, 1, 0).astype(x.dtype)
 
-        k_cache, v_cache = self_kv
-        max_len = k_cache.shape[2]
+        max_len = self_kv[0][0].shape[1]
         # mask out cache slots after the current position; (1,1,1,max_len)
         # broadcasts over (B, H, 1 query, max_len keys)
         pos_idx = jnp.arange(max_len)
         step_mask = jnp.where(pos_idx <= position, 0.0,
                               -1e9).astype(x.dtype)[None, None, None, :]
 
-        new_k, new_v = [], []
+        new_kv = []
         for i, block in enumerate(self.decoder.blocks):
+            k_cache, v_cache = self_kv[i]
             h = block.self_norm(x)
             k_step, v_step = block.self_attn.project_kv(h)
             k_all = jax.lax.dynamic_update_slice_in_dim(
-                k_cache[i], k_step, position, axis=1)
+                k_cache, k_step, position, axis=1)
             v_all = jax.lax.dynamic_update_slice_in_dim(
-                v_cache[i], v_step, position, axis=1)
-            new_k.append(k_all)
-            new_v.append(v_all)
+                v_cache, v_step, position, axis=1)
+            new_kv.append((k_all, v_all))
             attn = block.self_attn.attend(h, k_all, v_all, step_mask)
             x = x + attn
             h = block.cross_norm(x)
@@ -404,14 +405,14 @@ class MT3(nn.Module):
             x = x + block.ff(block.ff_norm(x), deterministic=True)
         x = self.decoder.final_norm(x)
         logits = self.lm_head(x)[:, 0]
-        return logits, (jnp.stack(new_k), jnp.stack(new_v))
+        return logits, tuple(new_kv)
 
     def init_cache(self, batch_size: int, max_len: int):
         cfg = self.cfg
-        shape = (cfg.num_decoder_layers, batch_size, max_len, cfg.num_heads,
-                 cfg.d_kv)
+        shape = (batch_size, max_len, cfg.num_heads, cfg.d_kv)
         dtype = cfg.activation_dtype
-        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return tuple((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                     for _ in range(cfg.num_decoder_layers))
 
     def prefill_cache(self, prefix_embeds: jnp.ndarray,
                       self_kv: Tuple[jnp.ndarray, jnp.ndarray],
@@ -429,21 +430,20 @@ class MT3(nn.Module):
             prefix_embeds.dtype)
         causal = jnp.tril(jnp.ones((p, p), dtype=bool))
         mask = jnp.where(causal, 0.0, -1e9).astype(x.dtype)
-        k_cache, v_cache = self_kv
-        new_k, new_v = [], []
+        new_kv = []
         for i, block in enumerate(self.decoder.blocks):
+            k_cache, v_cache = self_kv[i]
             h = block.self_norm(x)
             k, v = block.self_attn.project_kv(h)
-            new_k.append(jax.lax.dynamic_update_slice_in_dim(
-                k_cache[i], k, 0, axis=1))
-            new_v.append(jax.lax.dynamic_update_slice_in_dim(
-                v_cache[i], v, 0, axis=1))
+            new_kv.append((
+                jax.lax.dynamic_update_slice_in_dim(k_cache, k, 0, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(v_cache, v, 0, axis=1)))
             x = x + block.self_attn.attend(h, k, v, mask)
             h = block.cross_norm(x)
             x = x + block.cross_attn.attend(h, cross_kv['k'][i],
                                             cross_kv['v'][i], None)
             x = x + block.ff(block.ff_norm(x), deterministic=True)
-        return (jnp.stack(new_k), jnp.stack(new_v))
+        return tuple(new_kv)
 
 
 def batch_internal_segmem_ids(decoder_input_ids: jnp.ndarray) -> jnp.ndarray:

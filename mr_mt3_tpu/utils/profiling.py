@@ -66,3 +66,21 @@ def benchmark(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> dict:
         times.append(time.time() - t0)
     return {'best_s': min(times), 'mean_s': float(np.mean(times)),
             'times': times}
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persist XLA compilations across processes.
+
+    Decode/train programs here compile in tens of seconds; the cache makes
+    every run after the first start instantly. Safe to call repeatedly.
+    """
+    import os
+    if path is None:
+        path = os.path.join(os.path.expanduser('~'), '.cache',
+                            'mr_mt3_tpu', 'xla')
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass

@@ -25,6 +25,8 @@ def main(argv=None):
     cfg = load_config(config_dir or os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'configs'), config_name, overrides)
 
+    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from mr_mt3_tpu.data import DataLoader
     from mr_mt3_tpu.parallel import make_mesh, param_shardings
     from mr_mt3_tpu.train.trainer import (
