@@ -32,9 +32,13 @@ def main():
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
     rng = np.random.default_rng(0)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
-        decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+    # zero-init via eval_shape: avoids compiling+running the init program on
+    # device (tens of seconds on this platform); zero weights make argmax
+    # emit a non-EOS token forever = exact worst-case decode length
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32)))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     fn = jax.jit(lambda v, m: greedy_decode(model, v, m, max_length))
     mel_warm = jnp.asarray(

@@ -56,10 +56,13 @@ def sinusoidal_position_table(dim: int, max_length: int = 5000) -> np.ndarray:
                           axis=-1).astype(np.float32)
 
 
+_GELU_C = float(np.sqrt(2.0 / np.pi))  # python float: keeps bf16 weak-typed
+
+
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     """Tanh-approximate GELU (HF 'gelu_new', used by T5 gated-gelu)."""
     return 0.5 * x * (1.0 + jnp.tanh(
-        np.sqrt(2.0 / np.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+        _GELU_C * (x + 0.044715 * jnp.power(x, 3.0))))
 
 
 def shift_right(labels: jnp.ndarray, start_token_id: int = 0,

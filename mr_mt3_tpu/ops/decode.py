@@ -27,6 +27,10 @@ import jax.numpy as jnp
 
 from mr_mt3_tpu.models.config import MT3Config
 from mr_mt3_tpu.models.mt3 import MT3
+from mr_mt3_tpu.ops.fast_decode import (
+    greedy_loop_fast,
+    stack_decode_params,
+)
 
 
 def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
@@ -95,13 +99,20 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
 
 
 def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
-                  max_length: int = 1024) -> jnp.ndarray:
+                  max_length: int = 1024,
+                  use_fast: bool = True) -> jnp.ndarray:
     """Vanilla MT3 transcription decode.
 
     mel: (B, frames, mel_bins) -> tokens (B, max_length + 1) with leading
     start token, matching the reference's generate() output layout.
+    use_fast selects the scan-over-layers decode body (identical outputs,
+    much smaller compiled program); the module-path loop remains for
+    debugging and the decoder_prepend variant.
     """
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
+    if use_fast:
+        dp = stack_decode_params(variables['params'], model.cfg)
+        return greedy_loop_fast(model.cfg, dp, encoder_out, max_length)
     return _greedy_loop(model, variables, encoder_out, max_length)
 
 
@@ -143,6 +154,9 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     """
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
+    use_fast = cfg.segmem_variant != 'decoder_prepend'
+    dp = (stack_decode_params(variables['params'], cfg)
+          if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)
     flat = mel_segments.reshape((b * s,) + mel_segments.shape[2:])
@@ -158,14 +172,14 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                              method=MT3.compute_segmem)  # (B, L_agg, D)
         if cfg.segmem_variant == 'encoder_append':
             enc_aug = jnp.concatenate([enc_i, segmem], axis=1)
-            tokens = _greedy_loop(model, variables, enc_aug, max_length)
+            tokens = greedy_loop_fast(cfg, dp, enc_aug, max_length)
         elif cfg.segmem_variant == 'decoder_prepend':
             # v1: memory becomes a decoder-input prefix, prefilled into the
             # KV cache (reference: models/t5_segmem.py:207-236 generate_2)
             tokens = _greedy_loop(model, variables, enc_i, max_length,
                                   decoder_prefix_embeds=segmem)
         else:
-            tokens = _greedy_loop(model, variables, enc_i, max_length)
+            tokens = greedy_loop_fast(cfg, dp, enc_i, max_length)
         # next memory = this segment's tokens incl. start id, cropped to
         # max_length (reference pads/crops to max_length)
         mem_next = tokens[:, :max_length]

@@ -1,0 +1,199 @@
+"""Scan-over-layers greedy decode step on stacked decoder parameters.
+
+Functionally identical to MT3.decode_step (pinned by the greedy-vs-
+teacher-forced tests) but the 8 decoder layers run as a lax.scan over
+parameters stacked on a leading layer axis, shrinking the while-loop body
+HLO ~8x. On the tunneled axon TPU platform, program *size* dominates
+first-execution latency (a full-size unrolled decode program takes minutes
+to start; client-side XLA compile is seconds), so compact programs are a
+first-class performance concern, not hygiene.
+
+The KV cache lives in the scan carry as stacked (L, B, max_len, H, Dk)
+arrays updated with per-layer dynamic_update_slice — tiny in-place writes,
+full reads only for attention, same traffic as the per-layer-pytree layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_mt3_tpu.models.config import MT3Config
+from mr_mt3_tpu.models.mt3 import gelu_new, sinusoidal_position_table
+
+
+class DecodeParams(NamedTuple):
+    """Decoder weights arranged for the scan decode step."""
+    layers: Dict[str, jnp.ndarray]   # leading (L, ...) axis per leaf
+    token_embed: jnp.ndarray         # (vocab, D)
+    final_norm: jnp.ndarray          # (D,)
+    lm_head: jnp.ndarray             # (D, vocab)
+    pos_table: jnp.ndarray           # (max_positions, D)
+
+
+def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
+                        dtype=None) -> DecodeParams:
+    """Stack per-block decoder weights along a leading layer axis."""
+    if dtype is None:
+        dtype = cfg.activation_dtype
+    blocks = [params['decoder'][f'block_{i}']
+              for i in range(cfg.num_decoder_layers)]
+    layers = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *blocks)
+    return DecodeParams(
+        layers=layers,
+        token_embed=jnp.asarray(params['token_embed']['embedding'], dtype),
+        final_norm=jnp.asarray(params['decoder']['final_norm']['weight'],
+                               jnp.float32),
+        lm_head=jnp.asarray(params['lm_head']['kernel'], dtype),
+        pos_table=jnp.asarray(
+            sinusoidal_position_table(cfg.d_model, cfg.max_positions),
+            dtype))
+
+
+def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    out = x32 * jax.lax.rsqrt(var + eps)
+    return (weight * out.astype(dtype)).astype(dtype)
+
+
+def precompute_cross_kv_stacked(dp: DecodeParams, cfg: MT3Config,
+                                encoder_out: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, B, Lenc, H, Dk) cross-attention K/V for all layers in two
+    batched matmuls."""
+    b, lenc, _ = encoder_out.shape
+    enc = encoder_out.astype(dp.lm_head.dtype)
+    wk = dp.layers['cross_attn']['k']['kernel']  # (L, D, inner)
+    wv = dp.layers['cross_attn']['v']['kernel']
+    k = jnp.einsum('bsd,ldi->lbsi', enc, wk)
+    v = jnp.einsum('bsd,ldi->lbsi', enc, wv)
+    shape = (cfg.num_decoder_layers, b, lenc, cfg.num_heads, cfg.d_kv)
+    return k.reshape(shape), v.reshape(shape)
+
+
+def init_cache_stacked(cfg: MT3Config, batch: int, max_len: int,
+                       dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if dtype is None:
+        dtype = cfg.activation_dtype
+    shape = (cfg.num_decoder_layers, batch, max_len, cfg.num_heads, cfg.d_kv)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
+                     tokens: jnp.ndarray, position: jnp.ndarray,
+                     cache: Tuple[jnp.ndarray, jnp.ndarray],
+                     cross_kv: Tuple[jnp.ndarray, jnp.ndarray]
+                     ) -> Tuple[jnp.ndarray, Tuple]:
+    """One greedy step. tokens (B,) -> (logits (B, vocab), new cache)."""
+    eps = cfg.layer_norm_epsilon
+    heads, d_kv = cfg.num_heads, cfg.d_kv
+    k_cache, v_cache = cache
+    cross_k, cross_v = cross_kv
+    batch = tokens.shape[0]
+    max_len = k_cache.shape[2]
+
+    x = dp.token_embed[tokens][:, None, :]  # (B, 1, D)
+    x = x + jax.lax.dynamic_slice_in_dim(dp.pos_table, position, 1, 0)
+
+    pos_idx = jnp.arange(max_len)
+    step_mask = jnp.where(pos_idx <= position, 0.0,
+                          -1e9).astype(x.dtype)[None, None, None, :]
+
+    def heads_of(y):
+        return y.reshape(batch, 1, heads, d_kv)
+
+    def attend(q, k, v, mask):
+        scores = jnp.einsum('bqhd,bkhd->bhqk', q, k)
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            q.dtype)
+        out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
+        return out.reshape(batch, 1, heads * d_kv)
+
+    def layer(carry, inp):
+        x, k_cache, v_cache, i = carry
+        p, ck, cv = inp
+        # self attention with cache update
+        h = _rms(x, p['self_norm']['weight'].astype(jnp.float32), eps)
+        q = heads_of(h @ p['self_attn']['q']['kernel'])
+        k_step = heads_of(h @ p['self_attn']['k']['kernel'])
+        v_step = heads_of(h @ p['self_attn']['v']['kernel'])
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_step[None], (i, 0, position, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_step[None], (i, 0, position, 0, 0))
+        k_all = jax.lax.dynamic_index_in_dim(k_cache, i, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(v_cache, i, 0, keepdims=False)
+        attn = attend(q, k_all, v_all, step_mask)
+        x = x + attn @ p['self_attn']['o']['kernel']
+        # cross attention against precomputed K/V
+        h = _rms(x, p['cross_norm']['weight'].astype(jnp.float32), eps)
+        q = heads_of(h @ p['cross_attn']['q']['kernel'])
+        attn = attend(q, ck, cv, None)
+        x = x + attn @ p['cross_attn']['o']['kernel']
+        # gated-GELU MLP
+        h = _rms(x, p['ff_norm']['weight'].astype(jnp.float32), eps)
+        h = gelu_new(h @ p['ff']['wi_0']['kernel']) * \
+            (h @ p['ff']['wi_1']['kernel'])
+        x = x + h @ p['ff']['wo']['kernel']
+        return (x, k_cache, v_cache, i + 1), None
+
+    (x, k_cache, v_cache, _), _ = jax.lax.scan(
+        layer, (x, k_cache, v_cache, jnp.int32(0)),
+        (dp.layers, cross_k, cross_v))
+
+    x = _rms(x, dp.final_norm, eps)
+    logits = (x @ dp.lm_head)[:, 0]
+    return logits, (k_cache, v_cache)
+
+
+def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
+                     encoder_out: jnp.ndarray, max_length: int,
+                     phases=(256, 512)) -> jnp.ndarray:
+    """Phase-chunked greedy decode; returns tokens (B, max_length + 1)."""
+    batch = encoder_out.shape[0]
+    cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out)
+    bounds = [p for p in sorted(phases) if p < max_length] + [max_length]
+
+    cache = init_cache_stacked(cfg, batch, bounds[0])
+    tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((batch,), bool)
+
+    def body(state):
+        i, tokens, cache, finished = state
+        cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
+        logits, cache = decode_step_fast(cfg, dp, cur, i, cache, cross_kv)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.pad_token_id, nxt)
+        finished = finished | (nxt == cfg.eos_token_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, i + 1))
+        return i + 1, tokens, cache, finished
+
+    state = (jnp.int32(0), tokens, cache, finished)
+    cache_len = bounds[0]
+    for bound in bounds:
+        if bound > cache_len:
+            delta = bound - cache_len
+            i, tokens, cache, finished = state
+            cache = jax.tree.map(
+                lambda a: jnp.pad(
+                    a, ((0, 0), (0, 0), (0, delta), (0, 0), (0, 0))), cache)
+            state = (i, tokens, cache, finished)
+            cache_len = bound
+
+        def cond(state, bound=bound):
+            i, _, _, finished = state
+            return (i < bound) & jnp.logical_not(jnp.all(finished))
+
+        state = jax.lax.while_loop(cond, body, state)
+    return state[1]
