@@ -228,6 +228,46 @@ class InferenceHandler:
         codec_tokens = self._postprocess(tokens)
         return self._to_note_sequence(codec_tokens, seg_times)
 
+    def transcribe_many(self, audios) -> list:
+        """Transcribe several songs with cross-song batching.
+
+        In contiguous (segmem) mode songs run in lockstep through one
+        segment-axis scan — each song's memory chain stays sequential while
+        the batch dimension carries the songs (the reference can only loop
+        one segment at a time: models/t5_segmem_v2_with_prev.py:241-294).
+        Non-contiguous mode concatenates all songs' segments into fixed
+        decode batches. Outputs are identical to per-song transcribe().
+        """
+        pre = [self._audio_to_segments(np.asarray(a, dtype=np.float32))
+               for a in audios]
+        mels = [self._compute_mel(segments, valid)
+                for segments, _, valid in pre]
+
+        if self.contiguous_inference:
+            bucket = max(self.segment_bucket, 1)
+            max_s = _round_up(max(m.shape[0] for m in mels), bucket)
+            stacked = np.zeros((len(mels), max_s) + mels[0].shape[1:],
+                               mels[0].dtype)
+            for i, m in enumerate(mels):
+                stacked[i, :m.shape[0]] = m
+            fn = self._get_segmem_fn()
+            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+            per_song = [tokens[i, :m.shape[0]]
+                        for i, m in enumerate(mels)]
+        else:
+            all_mel = np.concatenate(mels, axis=0)
+            all_tokens = self._decode_all(all_mel)
+            per_song, start = [], 0
+            for m in mels:
+                per_song.append(all_tokens[start:start + m.shape[0]])
+                start += m.shape[0]
+
+        results = []
+        for tokens, (_, seg_times, _) in zip(per_song, pre):
+            codec_tokens = self._postprocess(tokens)
+            results.append(self._to_note_sequence(codec_tokens, seg_times))
+        return results
+
     def inference(self, audio, audio_path: str = '', outpath=None,
                   valid_programs=None, batch_size: Optional[int] = None,
                   max_length: Optional[int] = None,

@@ -41,6 +41,7 @@ def get_scores(
     use_tf_spectral_ops: bool = False,
     batch_size: int = 8,
     max_length: int = 1024,
+    songs_per_batch: int = 4,
 ) -> Dict[str, float]:
     """Transcribe every file in eval_audio_dir, then score the output dir.
 
@@ -55,21 +56,41 @@ def get_scores(
             filterbank_style='tf' if use_tf_spectral_ops else 'torch',
             batch_size=batch_size, max_length=max_length)
 
-    for fname in eval_audio_dir:
-        audio = load_eval_audio(fname, eval_dataset)
+    def outpath_for(fname):
         if eval_dataset == 'Slakh':
             name = str(fname).split(os.sep)[-2]
-            outpath = os.path.join(exp_tag_name, name, 'mix.mid')
-        elif eval_dataset in ('ComMU', 'NSynth'):
+            return os.path.join(exp_tag_name, name, 'mix.mid')
+        if eval_dataset in ('ComMU', 'NSynth'):
             name = os.path.basename(str(fname))
-            outpath = os.path.join(exp_tag_name,
-                                   name.replace('.wav', '.mid'))
-        else:
-            raise ValueError('Invalid dataset name.')
+            return os.path.join(exp_tag_name, name.replace('.wav', '.mid'))
+        raise ValueError('Invalid dataset name.')
+
+    from mr_mt3_tpu.midi import note_sequence_to_midi_file
+
+    # batch songs through the engine (contiguous segmem decodes them in
+    # lockstep; see InferenceHandler.transcribe_many)
+    for start in range(0, len(eval_audio_dir), songs_per_batch):
+        chunk = eval_audio_dir[start:start + songs_per_batch]
         if verbose:
-            print('transcribing', fname)
-        handler.inference(audio=audio, audio_path=str(fname),
-                          outpath=outpath, verbose=verbose)
+            print('transcribing', *map(str, chunk))
+        try:
+            audios = [load_eval_audio(f, eval_dataset) for f in chunk]
+            results = handler.transcribe_many(audios)
+            for fname, ns in zip(chunk, results):
+                outpath = outpath_for(fname)
+                parent = os.path.dirname(outpath)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                note_sequence_to_midi_file(ns, outpath)
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            # fall back to one-by-one so a bad song only skips itself
+            for fname in chunk:
+                handler.inference(audio=load_eval_audio(fname, eval_dataset),
+                                  audio_path=str(fname),
+                                  outpath=outpath_for(fname),
+                                  verbose=verbose)
 
     scores = evaluate_main(
         dataset_name=eval_dataset,

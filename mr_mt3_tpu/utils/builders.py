@@ -25,6 +25,11 @@ def build_model(cfg: ConfigNode) -> MT3:
     model_dict['segmem_variant'] = cfg.model.get('segmem_variant')
     model_dict['segmem_length'] = cfg.model.get('segmem_length', 64)
     model_dict['segmem_num_layers'] = cfg.model.get('segmem_num_layers', 1)
+    # trainer.precision: 32 (reference default) or bf16 for bfloat16
+    # activations with fp32 params/optimizer (mixed precision)
+    precision = str((cfg.get('trainer') or {}).get('precision', '32'))
+    if precision in ('bf16', 'bf16-mixed', 'bfloat16'):
+        model_dict['dtype'] = 'bfloat16'
     return MT3(config_from_dict(model_dict))
 
 

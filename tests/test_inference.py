@@ -120,3 +120,34 @@ class TestEndToEnd:
         # the reference where total = max - min)
         assert len(ids) == 125
         assert ids[0] == [1132 + 2 + 3]
+
+
+class TestTranscribeMany:
+    def test_matches_per_song(self, handler):
+        rng = np.random.default_rng(7)
+        audios = [rng.normal(size=16000 * 3).astype(np.float32) * 0.1,
+                  rng.normal(size=int(16000 * 4.6)).astype(np.float32) * 0.1]
+        singles = [handler.transcribe(a) for a in audios]
+        batched = handler.transcribe_many(audios)
+        for s, b in zip(singles, batched):
+            assert len(s.notes) == len(b.notes)
+            for ns_a, ns_b in zip(s.notes, b.notes):
+                assert ns_a == ns_b
+
+    def test_contiguous_lockstep_matches_single(self):
+        cfg = SMALL.replace(segmem_variant='encoder_append', segmem_length=8)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(3),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        h = InferenceHandler(model=model, variables=variables,
+                             max_length=12, contiguous_inference=True,
+                             segment_bucket=2)
+        rng = np.random.default_rng(8)
+        audios = [rng.normal(size=16000 * 3).astype(np.float32) * 0.1,
+                  rng.normal(size=16000 * 5).astype(np.float32) * 0.1]
+        singles = [h.transcribe(a) for a in audios]
+        batched = h.transcribe_many(audios)
+        for s, b in zip(singles, batched):
+            assert len(s.notes) == len(b.notes)
