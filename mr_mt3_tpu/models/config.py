@@ -40,6 +40,9 @@ class MT3Config:
 
     # compute dtype for activations ('float32' or 'bfloat16'); params stay fp32
     dtype: str = 'float32'
+    # rematerialize each transformer block in the backward pass (gradient
+    # checkpointing; dormant in the reference — models/t5.py:497)
+    remat: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -78,4 +81,5 @@ def config_from_dict(d: dict) -> MT3Config:
         segmem_length=d.get('segmem_length', 64),
         segmem_num_layers=d.get('segmem_num_layers', 1),
         dtype=d.get('dtype', 'float32'),
+        remat=bool(d.get('remat', False)),
     )

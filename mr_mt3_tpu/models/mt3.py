@@ -199,9 +199,14 @@ class Stack(nn.Module):
     dropout_rate: float
 
     def setup(self):
+        block_cls = Block
+        if self.cfg.remat:
+            # rematerialize block activations in the backward pass;
+            # deterministic (arg 4, counting self) must stay static
+            block_cls = nn.remat(Block, static_argnums=(4,))
         self.blocks = [
-            Block(self.cfg, is_decoder=self.is_decoder,
-                  dropout_rate=self.dropout_rate, name=f'block_{i}')
+            block_cls(self.cfg, is_decoder=self.is_decoder,
+                      dropout_rate=self.dropout_rate, name=f'block_{i}')
             for i in range(self.num_layers)]
         self.final_norm = RMSNorm(epsilon=self.cfg.layer_norm_epsilon,
                                   name='final_norm')
@@ -225,8 +230,8 @@ class Stack(nn.Module):
             causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
             self_mask = jnp.where(causal, 0.0, -1e9).astype(x.dtype)
         for block in self.blocks:
-            x = block(x, encoder_out=encoder_out, self_mask=self_mask,
-                      deterministic=deterministic)
+            # positional call so nn.remat's static_argnums applies
+            x = block(x, encoder_out, self_mask, deterministic)
         x = self.final_norm(x)
         x = self.io_dropout(x, deterministic=deterministic)
         return x

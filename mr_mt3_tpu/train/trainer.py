@@ -219,24 +219,44 @@ class Trainer:
         import orbax.checkpoint as ocp
         return ocp.StandardCheckpointer()
 
-    def save_checkpoint(self, state: TrainState, name: str):
+    def save_checkpoint(self, state: TrainState, name: str,
+                        with_opt_state: bool = True):
+        """Save params (+ optimizer state for exact resume, matching the
+        reference's .ckpt vs flat-.pt distinction — train.py:105-116)."""
         import orbax.checkpoint as ocp
         path = os.path.join(self._ckpt_dir, name)
         ckptr = self._checkpointer()
-        ckptr.save(path, {'params': state.params,
-                          'step': np.asarray(state.step)},
-                   force=True)
+        payload = {'params': state.params, 'step': np.asarray(state.step)}
+        if with_opt_state:
+            payload['opt_state'] = state.opt_state
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
-    def restore_params(self, name_or_path: str, like_params):
+    def restore_params(self, name_or_path: str, like_params=None):
+        """Weights-only restore; tolerates checkpoints with or without
+        optimizer state."""
+        path = name_or_path
+        if not os.path.isabs(path):
+            path = os.path.join(self._ckpt_dir, path)
+        ckptr = self._checkpointer()
+        restored = ckptr.restore(path)  # targetless: numpy pytree as saved
+        return restored['params'], int(restored['step'])
+
+    def restore_state(self, name_or_path: str,
+                      like_state: TrainState) -> TrainState:
+        """Full resume: params + optimizer state + step."""
         import orbax.checkpoint as ocp
         path = name_or_path
         if not os.path.isabs(path):
             path = os.path.join(self._ckpt_dir, path)
         ckptr = self._checkpointer()
-        target = {'params': like_params, 'step': np.zeros((), np.int32)}
+        target = {'params': like_state.params,
+                  'opt_state': like_state.opt_state,
+                  'step': np.zeros((), np.int32)}
         restored = ckptr.restore(path, target=target)
-        return restored['params'], int(restored['step'])
+        return TrainState(step=jnp.asarray(restored['step'], jnp.int32),
+                          params=restored['params'],
+                          opt_state=restored['opt_state'])
 
     def _maybe_save_topk(self, state: TrainState, epoch: int,
                          val_loss: float):

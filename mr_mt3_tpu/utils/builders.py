@@ -89,10 +89,9 @@ def load_weights(path: str, model: MT3, like_params=None):
         return load_torch_checkpoint(path, model.cfg), 0
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
-        if like_params is None:
-            like_params = init_params(model)
         ckptr = ocp.StandardCheckpointer()
-        target = {'params': like_params, 'step': np.zeros((), np.int32)}
-        restored = ckptr.restore(os.path.abspath(path), target=target)
+        # targetless restore tolerates checkpoints with or without
+        # optimizer state
+        restored = ckptr.restore(os.path.abspath(path))
         return restored['params'], int(restored['step'])
     raise FileNotFoundError(path)

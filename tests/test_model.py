@@ -197,7 +197,9 @@ class TestTorchParity:
         torch = pytest.importorskip('torch')
         transformers = pytest.importorskip('transformers')
         torch.manual_seed(7)
-        cfg = MT3Config(vocab_size=96, d_model=32, d_kv=8, d_ff=48,
+        # d_kv * num_heads = 24 != d_model = 32: the MT3 architecture has
+        # inner attention dim 384 != 512, so the oracle must cover that case
+        cfg = MT3Config(vocab_size=96, d_model=32, d_kv=6, d_ff=48,
                         num_heads=4, num_encoder_layers=2,
                         num_decoder_layers=2, mel_bins=32, dropout_rate=0.0)
         t5c = transformers.T5Config(

@@ -218,3 +218,55 @@ class TestTrainerLoop:
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(params)[0]),
             np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+class TestResume:
+    def test_full_state_resume(self, tmp_path):
+        """Optimizer state survives save/restore and training continues."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        from mr_mt3_tpu.train.trainer import Trainer
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1))
+        state = create_train_state(variables['params'], optimizer)
+        step = make_train_step(model, optimizer)
+        batch = {k: jnp.asarray(v)
+                 for k, v in _tiny_batch(np.random.default_rng(9)).items()}
+        for _ in range(3):
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        trainer.save_checkpoint(state, 'resume_test')
+
+        fresh = create_train_state(variables['params'], optimizer)
+        restored = trainer.restore_state('resume_test', fresh)
+        assert int(restored.step) == 3
+        # adam moments restored, not zeros
+        mu_leaves = jax.tree.leaves(restored.opt_state)
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in mu_leaves
+                   if hasattr(l, 'shape') and getattr(l, 'size', 0) > 1)
+        # continued training matches uninterrupted training exactly
+        cont, m1 = step(restored, batch, jax.random.PRNGKey(1))
+        direct, m2 = step(state, batch, jax.random.PRNGKey(1))
+        assert float(m1['loss']) == pytest.approx(float(m2['loss']),
+                                                  rel=1e-6)
+
+    def test_weights_only_restore_tolerates_opt_state(self, tmp_path):
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        from mr_mt3_tpu.train.trainer import Trainer
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1))
+        state = create_train_state(variables['params'], optimizer)
+        trainer.save_checkpoint(state, 'with_opt', with_opt_state=True)
+        trainer.save_checkpoint(state, 'without_opt', with_opt_state=False)
+        for name in ['with_opt', 'without_opt']:
+            params, step_no = trainer.restore_params(name)
+            assert step_no == 0
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.leaves(params)[0]),
+                np.asarray(jax.tree.leaves(state.params)[0]))

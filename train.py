@@ -108,15 +108,43 @@ def main(argv=None):
     params = builders.init_params(model, seed)
     start_epoch = 0
     path = cfg.get('path')
+    resumed_state = None
     if path:
-        # warm start / resume (reference: train.py:62-103)
-        loaded, step = builders.load_weights(str(path), model,
-                                             like_params=params)
-        params = loaded
-        print(f'loaded weights from {path} (step {step})')
+        path = str(path)
+        if os.path.isdir(path):
+            # full resume when the checkpoint has optimizer state
+            # (reference .ckpt semantics: train.py:62-76)
+            import orbax.checkpoint as ocp
+            try:
+                probe = ocp.StandardCheckpointer().restore(
+                    os.path.abspath(path))
+            except Exception:
+                probe = None
+            if probe is not None and 'opt_state' in probe:
+                base = create_train_state(
+                    jax.device_put(params,
+                                   param_shardings(params, mesh)),
+                    optimizer)
+                tmp_trainer_state = trainer.restore_state(
+                    os.path.abspath(path), base)
+                resumed_state = tmp_trainer_state
+                steps_per_epoch = max(1, len(train_loader))
+                start_epoch = int(resumed_state.step) // steps_per_epoch
+                print(f'resumed full state from {path} '
+                      f'(step {int(resumed_state.step)}, '
+                      f'epoch {start_epoch})')
+        if resumed_state is None:
+            # warm start from weights only (.pth/.pt/orbax params)
+            loaded, step = builders.load_weights(path, model,
+                                                 like_params=params)
+            params = loaded
+            print(f'loaded weights from {path} (step {step})')
 
-    params = jax.device_put(params, param_shardings(params, mesh))
-    state = create_train_state(params, optimizer)
+    if resumed_state is not None:
+        state = resumed_state
+    else:
+        params = jax.device_put(params, param_shardings(params, mesh))
+        state = create_train_state(params, optimizer)
 
     num_epochs = int(cfg.trainer.max_epochs)
     state = trainer.fit(state, train_loader, val_loader,
