@@ -10,4 +10,4 @@ from mr_mt3_tpu.audio.frontend import (
     normalize_logmel,
     split_audio,
 )
-from mr_mt3_tpu.audio.io import read_wav, resample, write_wav
+from mr_mt3_tpu.audio.io import read_audio, read_wav, resample, write_wav

@@ -103,6 +103,18 @@ def write_wav(path, samples: np.ndarray, sample_rate: int,
         f.write(header + payload)
 
 
+def read_audio(path) -> Tuple[np.ndarray, int]:
+    """Read wav or flac -> (float32 mono samples, sample_rate).
+
+    FLAC uses the native codec in mr_mt3_tpu/native (the reference reads
+    mix.flac via librosa/soundfile; this image has no FLAC tooling).
+    """
+    if str(path).lower().endswith('.flac'):
+        from mr_mt3_tpu.native.flac import read_flac
+        return read_flac(path)
+    return read_wav(path)
+
+
 def resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resampling (librosa.resample equivalent for this pipeline)."""
     if orig_sr == target_sr:

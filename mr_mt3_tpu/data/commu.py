@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from mr_mt3_tpu.audio import read_wav, resample
+from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.codec import note_sequences as nsq
 from mr_mt3_tpu.codec.slakh import PitchBendError, add_track_to_notesequence
 from mr_mt3_tpu.data import transforms
@@ -72,7 +72,7 @@ class ComMUDataset(SlakhDataset):
                 ignore_pitch_bends=self.ignore_pitch_bends)
         except PitchBendError:
             return None
-        audio, sr = read_wav(row['audio_path'])
+        audio, sr = read_audio(row['audio_path'])
         if sr != self.spectrogram_config.sample_rate:
             audio = resample(audio, sr, self.spectrogram_config.sample_rate)
         song = transforms.tokenize_song(

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from mr_mt3_tpu.audio import read_wav, resample
+from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.audio.frontend import SpectrogramConfig
 from mr_mt3_tpu.codec import VocabularyConfig, build_codec, vocabulary_from_codec
 from mr_mt3_tpu.codec import note_sequences as nsq
@@ -132,7 +132,7 @@ class SlakhDataset:
                     ignore_pitch_bends=self.ignore_pitch_bends)
             except PitchBendError:
                 return None
-        audio, sr = read_wav(row['audio_path'])
+        audio, sr = read_audio(row['audio_path'])
         if sr != self.spectrogram_config.sample_rate:
             audio = resample(audio, sr, self.spectrogram_config.sample_rate)
         song = transforms.tokenize_song(

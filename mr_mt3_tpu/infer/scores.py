@@ -12,13 +12,13 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from mr_mt3_tpu.audio import read_wav, resample
+from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.eval.evaluate import evaluate_main
 from mr_mt3_tpu.infer.handler import InferenceHandler
 
 
 def load_eval_audio(path, eval_dataset: str = 'Slakh') -> np.ndarray:
-    audio, sr = read_wav(path)
+    audio, sr = read_audio(path)
     if sr != 16000:
         audio = resample(audio, sr, 16000)
     if eval_dataset == 'NSynth':

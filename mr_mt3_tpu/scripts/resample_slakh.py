@@ -1,9 +1,8 @@
 """Resample Slakh mixes to 16 kHz PCM_24 wavs (mix_16k.wav).
 
-(reference: resample.py) The reference reads mix.flac via librosa; this
-image ships no FLAC decoder, so FLAC inputs raise with a pointer to
-convert externally — wav inputs are handled natively. Threaded like the
-reference (ThreadPool of 12).
+(reference: resample.py) FLAC mixes decode through the framework's native
+codec (mr_mt3_tpu/native/flac.cc); wav inputs are handled natively too.
+Threaded like the reference (ThreadPool of 12).
 
 Usage: python -m mr_mt3_tpu.scripts.resample_slakh <slakh_root>
 """
@@ -16,22 +15,18 @@ import os
 import sys
 import traceback
 
-from mr_mt3_tpu.audio import read_wav, resample, write_wav
+from mr_mt3_tpu.audio import read_audio, resample, write_wav
 
 
 def convert_one(fname: str) -> None:
-    if fname.endswith('.flac'):
-        raise NotImplementedError(
-            'no FLAC decoder in this environment; convert to wav first '
-            '(e.g. ffmpeg -i mix.flac mix.wav) or point the dataset at wavs')
-    audio, sr = read_wav(fname)
+    audio, sr = read_audio(fname)
     if sr != 16000:
         audio = resample(audio, sr, 16000)
     out = fname.rsplit('.', 1)[0] + '_16k.wav'
     write_wav(out, audio, 16000, subtype='PCM_24')
 
 
-def main(root: str, mix_name: str = 'mix.wav') -> None:
+def main(root: str, mix_name: str = 'mix.flac') -> None:
     for split in ['train', 'validation', 'test']:
         files = sorted(glob.glob(
             os.path.join(root, split, '**', mix_name), recursive=True))

@@ -292,3 +292,33 @@ class TestEndToEndRoundTrip:
         long_note = [n for n in decoded.notes if n.pitch == 60][0]
         assert long_note.start_time == pytest.approx(0.0)
         assert long_note.end_time == pytest.approx(1.5, abs=0.005)
+
+
+class TestDecoderFuzz:
+    """The combiner must survive arbitrary token garbage, counting invalid
+    events instead of crashing (reference: run_length_encoding.py:216-248)."""
+
+    @pytest.mark.parametrize('seed', range(8))
+    def test_random_streams_never_crash(self, codec, seed):
+        rng = np.random.default_rng(seed)
+        preds = []
+        for i in range(3):
+            n = int(rng.integers(0, 200))
+            tokens = rng.integers(-5, 1600, n)
+            preds.append({'est_tokens': tokens, 'start_time': i * 2.048,
+                          'raw_inputs': []})
+        result = event_predictions_to_ns(
+            preds, codec, ns_lib.NoteEncodingWithTiesSpec)
+        ns = result['est_ns']
+        assert result['est_invalid_events'] >= 0
+        for note in ns.notes:
+            assert note.start_time <= note.end_time
+            assert 0 <= note.pitch <= 127
+
+    def test_all_invalid_stream(self, codec):
+        preds = [{'est_tokens': np.full(50, 9999), 'start_time': 0.0,
+                  'raw_inputs': []}]
+        result = event_predictions_to_ns(
+            preds, codec, ns_lib.NoteEncodingWithTiesSpec)
+        assert result['est_invalid_events'] == 50
+        assert len(result['est_ns'].notes) == 0
