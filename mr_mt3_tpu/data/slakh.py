@@ -86,7 +86,11 @@ class SlakhDataset:
         self.split_frame_length = split_frame_length
         self.is_randomize_tokens = is_randomize_tokens
         self.is_deterministic = is_deterministic
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)  # shuffle only (ctor thread)
+        import threading
+        self._count_lock = threading.Lock()
+        self._visit_counts: Dict[int, int] = {}
         self._cache: Dict[int, transforms.SongFeatures] = {}
         self.cache_songs = cache_songs
         self.df = self._build_dataset(root_dir, shuffle=shuffle)
@@ -174,11 +178,20 @@ class SlakhDataset:
         return transforms.finalize_targets(tokens, self.codec,
                                            self.event_length)
 
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        """Thread-safe per-item RNG: derived from (seed, idx, visit count)
+        so loader worker threads never share Generator state and epochs
+        draw fresh randomness deterministically."""
+        with self._count_lock:
+            visit = self._visit_counts.get(idx, 0)
+            self._visit_counts[idx] = visit + 1
+        return np.random.default_rng([self._seed, idx, visit])
+
     def __getitem__(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
         song = self._load_song(idx)
         if song is None:
             return None
-        rng = None if self.is_deterministic else self._rng
+        rng = None if self.is_deterministic else self._item_rng(idx)
         windows = self._sample_windows(song, rng)
         hop = self.spectrogram_config.hop_width
 
@@ -206,7 +219,7 @@ class SlakhDatasetWithPrevSegmem(SlakhDataset):
         song = self._load_song(idx)
         if song is None:
             return None
-        rng = None if self.is_deterministic else self._rng
+        rng = None if self.is_deterministic else self._item_rng(idx)
         windows = self._sample_windows(song, rng)
         hop = self.spectrogram_config.hop_width
 
