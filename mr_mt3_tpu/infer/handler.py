@@ -269,12 +269,15 @@ class InferenceHandler:
         return results
 
     def inference(self, audio, audio_path: str = '', outpath=None,
-                  valid_programs=None, batch_size: Optional[int] = None,
+                  valid_programs=None, num_beams: int = 1,
+                  batch_size: Optional[int] = None,
                   max_length: Optional[int] = None,
                   verbose: bool = False) -> Optional[
                       note_sequences.NoteSequence]:
         """Transcribe and write a MIDI file (reference signature:
-        inference.py:149-204; errors are caught and printed the same way)."""
+        inference.py:149-204; errors are caught and printed the same way).
+        num_beams is accepted for API parity; decoding is greedy, exactly
+        like the reference's custom generate which ignores beam kwargs."""
         if batch_size is not None:
             self.batch_size = batch_size
         if max_length is not None and max_length != self.max_length:

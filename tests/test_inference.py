@@ -151,3 +151,25 @@ class TestTranscribeMany:
         batched = h.transcribe_many(audios)
         for s, b in zip(singles, batched):
             assert len(s.notes) == len(b.notes)
+
+
+class TestDataParallelDecode:
+    def test_sharded_batch_decode(self):
+        """Greedy decode with the batch sharded over a data mesh (the
+        serving-scale path: segments spread across chips)."""
+        from mr_mt3_tpu.ops.decode import greedy_decode
+        from mr_mt3_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(data=8, model=1)
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        mel = np.random.default_rng(0).normal(
+            size=(8, 256, 512)).astype(np.float32)
+        sharded = shard_batch({'mel': mel}, mesh)['mel']
+        tokens_sharded = np.asarray(
+            greedy_decode(model, variables, sharded, max_length=8))
+        tokens_local = np.asarray(
+            greedy_decode(model, variables, jnp.asarray(mel), max_length=8))
+        np.testing.assert_array_equal(tokens_sharded, tokens_local)
