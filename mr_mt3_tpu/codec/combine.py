@@ -11,7 +11,7 @@ from typing import Any, Callable, Mapping, Sequence, Tuple
 
 import numpy as np
 
-from mr_mt3_tpu.codec import note_sequences, rle
+from mr_mt3_tpu.codec import rle
 from mr_mt3_tpu.codec.events import Codec
 
 

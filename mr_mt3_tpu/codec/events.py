@@ -10,7 +10,7 @@ vectorized numpy paths are provided for whole token arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

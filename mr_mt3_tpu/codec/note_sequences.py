@@ -12,8 +12,6 @@ import dataclasses
 import itertools
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-import numpy as np
-
 from mr_mt3_tpu.codec import vocabulary as vocab_lib
 from mr_mt3_tpu.codec.events import Codec, Event
 from mr_mt3_tpu.codec.rle import EventEncodingSpec

@@ -9,9 +9,7 @@ from __future__ import annotations
 
 import os
 from glob import glob
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import List, Optional
 
 from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.codec import note_sequences as nsq

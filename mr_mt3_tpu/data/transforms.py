@@ -12,7 +12,7 @@ torchaudio DSP instead — reference call stack SURVEY §3.1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import collections
 import concurrent.futures
 import glob
-import os
 import traceback
 from typing import Dict, List, Optional
 

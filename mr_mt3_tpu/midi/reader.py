@@ -18,11 +18,10 @@ channel 9, per-channel running program numbers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from mr_mt3_tpu.codec.note_sequences import (
     ControlChange,
-    Note,
     NoteSequence,
     PitchBend,
 )

@@ -19,8 +19,7 @@ start token, finished rows pad with pad_token_id, EOS is included.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

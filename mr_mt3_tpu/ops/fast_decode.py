@@ -15,7 +15,6 @@ full reads only for attention, same traffic as the per-layer-pytree layout.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

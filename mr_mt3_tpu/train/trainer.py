@@ -37,7 +37,6 @@ from mr_mt3_tpu.audio.frontend import (
     normalize_logmel,
 )
 from mr_mt3_tpu.models import MT3
-from mr_mt3_tpu.models.mt3 import shift_right
 from mr_mt3_tpu.parallel import mesh as mesh_lib
 from mr_mt3_tpu.train.losses import cross_entropy_loss, weighted_instrument_loss
 

@@ -7,13 +7,12 @@ reference entry points (reference: train.py:27-60, test.py:92-110).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.models import MT3
 from mr_mt3_tpu.models.config import config_from_dict
 from mr_mt3_tpu.train.optim import make_optimizer
 from mr_mt3_tpu.utils.config import ConfigNode, instantiate
