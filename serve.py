@@ -1,0 +1,153 @@
+"""Transcription server: long-lived process with a warm compiled model.
+
+The reference has no serving story (transcription is a batch CLI); on TPU
+the expensive parts — program startup and weight residency — are per
+process, so production use wants a resident server. This exposes a minimal
+HTTP API on the standard library only:
+
+  POST /transcribe       body: WAV or FLAC bytes -> Standard MIDI File bytes
+  POST /transcribe.json  body: audio             -> JSON note list
+  GET  /healthz          -> {"status": "ok", ...}
+
+Requests queue through a single device worker; segments from one request
+batch together (and whole songs run in lockstep in contiguous mode).
+
+Usage:
+  python serve.py --port 8742 path=<checkpoint> [--config-name=... model=...]
+
+Checkpoint/config grammar matches test.py; with no path, serves random
+weights (plumbing/latency testing).
+"""
+
+import io
+import json
+import os
+import sys
+import threading
+
+
+def build_handler(argv):
+    from mr_mt3_tpu.utils.config import load_config, parse_cli
+    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+
+    args = [a for a in argv if not a.startswith('--port')]
+    config_name, config_dir, overrides = parse_cli(args)
+    cfg = load_config(config_dir or os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'configs'), config_name, overrides)
+    enable_compilation_cache()
+
+    from mr_mt3_tpu.infer import InferenceHandler
+    from mr_mt3_tpu.utils import builders
+
+    model = builders.build_model(cfg)
+    if cfg.get('path'):
+        params, _ = builders.load_weights(str(cfg.path), model)
+        variables = {'params': params}
+        mel_norm = 'pretrained/mt3.pth' not in str(cfg.path)
+    else:
+        print('WARNING: serving randomly initialized weights '
+              '(no path= given)', file=sys.stderr)
+        variables = {'params': builders.init_params(model)}
+        mel_norm = True
+
+    return InferenceHandler(
+        model=model, variables=variables, mel_norm=mel_norm,
+        contiguous_inference=bool(cfg.eval.get('contiguous_inference')),
+        batch_size=int(cfg.eval.get('batch_size') or 8))
+
+
+def make_server(handler, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from mr_mt3_tpu.audio import resample
+    from mr_mt3_tpu.midi.writer import note_sequence_to_midi_bytes
+
+    device_lock = threading.Lock()
+    stats = {'requests': 0, 'audio_seconds': 0.0}
+
+    def decode_audio(body: bytes):
+        import numpy as np
+        if body[:4] == b'fLaC':
+            from mr_mt3_tpu.native.flac import decode_flac_bytes
+            samples, sr = decode_flac_bytes(body)
+            samples = samples.mean(axis=1)
+        elif body[:4] == b'RIFF':
+            import tempfile
+            from mr_mt3_tpu.audio import read_wav
+            with tempfile.NamedTemporaryFile(suffix='.wav') as f:
+                f.write(body)
+                f.flush()
+                samples, sr = read_wav(f.name)
+        else:
+            raise ValueError('body must be WAV or FLAC bytes')
+        if sr != 16000:
+            samples = resample(samples, sr, 16000)
+        return samples.astype(np.float32)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._reply(200, json.dumps(
+                    {'status': 'ok', **stats}).encode(), 'application/json')
+            else:
+                self._reply(404, b'not found', 'text/plain')
+
+        def do_POST(self):
+            if self.path not in ('/transcribe', '/transcribe.json'):
+                self._reply(404, b'not found', 'text/plain')
+                return
+            length = int(self.headers.get('Content-Length', 0))
+            body = self.rfile.read(length)
+            try:
+                audio = decode_audio(body)
+                with device_lock:
+                    ns = handler.transcribe(audio)
+                stats['requests'] += 1
+                stats['audio_seconds'] += len(audio) / 16000.0
+                if self.path == '/transcribe.json':
+                    notes = [{'pitch': n.pitch, 'start': n.start_time,
+                              'end': n.end_time, 'velocity': n.velocity,
+                              'program': n.program, 'is_drum': n.is_drum}
+                             for n in ns.notes]
+                    self._reply(200, json.dumps({'notes': notes}).encode(),
+                                'application/json')
+                else:
+                    self._reply(200, note_sequence_to_midi_bytes(ns),
+                                'audio/midi')
+            except ValueError as e:
+                self._reply(400, str(e).encode(), 'text/plain')
+            except Exception as e:
+                self._reply(500, f'internal error: {e}'.encode(),
+                            'text/plain')
+
+    return ThreadingHTTPServer(('127.0.0.1', port), Handler)
+
+
+def main():
+    port = 8742
+    argv = []
+    it = iter(sys.argv[1:])
+    for arg in it:
+        if arg.startswith('--port'):
+            port = int(arg.split('=', 1)[1] if '=' in arg else next(it))
+        else:
+            argv.append(arg)
+    handler = build_handler(argv)
+    server = make_server(handler, port)
+    print(f'serving on http://127.0.0.1:{port} '
+          '(POST /transcribe, /transcribe.json; GET /healthz)')
+    server.serve_forever()
+
+
+if __name__ == '__main__':
+    main()
