@@ -126,14 +126,30 @@ def num_stft_frames(num_samples: int, hop_width: int) -> int:
 @functools.partial(jax.jit, static_argnames=('hop_width', 'fft_size'))
 def _stft_magnitude(samples: jnp.ndarray, window: jnp.ndarray,
                     hop_width: int, fft_size: int) -> jnp.ndarray:
-    """|STFT| with no centering and zero pad-end. samples: (..., n)."""
+    """|STFT| with no centering and zero pad-end. samples: (..., n).
+
+    Framing uses shifted slices of hop-blocked audio instead of a gather
+    (hop divides fft_size): frames[f, j*hop:(j+1)*hop] = blocks[f + j].
+    On TPU the gather formulation was ~100x slower.
+    """
     n = samples.shape[-1]
     n_frames = num_stft_frames(n, hop_width)
-    pad = fft_size + hop_width * (n_frames - 1) - n
-    x = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
-    idx = (np.arange(n_frames)[:, None] * hop_width +
-           np.arange(fft_size)[None, :])
-    frames = x[..., idx] * window
+    chunks = fft_size // hop_width
+    if fft_size % hop_width == 0:
+        total_blocks = n_frames + chunks - 1
+        pad = total_blocks * hop_width - n
+        x = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
+        blocks = x.reshape(x.shape[:-1] + (total_blocks, hop_width))
+        frames = jnp.concatenate(
+            [blocks[..., j:j + n_frames, :] for j in range(chunks)],
+            axis=-1)
+    else:
+        pad = fft_size + hop_width * (n_frames - 1) - n
+        x = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
+        idx = (np.arange(n_frames)[:, None] * hop_width +
+               np.arange(fft_size)[None, :])
+        frames = x[..., idx]
+    frames = frames * window
     return jnp.abs(jnp.fft.rfft(frames, n=fft_size, axis=-1))
 
 

@@ -65,7 +65,7 @@ def _dft_constants(config: SpectrogramConfig):
 
 
 def _kernel(blocks_ref, cos_ref, sin_ref, fbank_ref, out_ref, acc_ref,
-            *, num_frames: int, chunks: int, eps: float):
+            *, num_frames: int, chunks: int, hop: int, eps: float):
     k = pl.program_id(1)
     num_k = pl.num_programs(1)
 
@@ -73,16 +73,27 @@ def _kernel(blocks_ref, cos_ref, sin_ref, fbank_ref, out_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # frames[f, j*hop:(j+1)*hop] = blocks[f + j]: build via shifted slices
+    # frames[f, j*hop:(j+1)*hop] = blocks[f + j], so the windowed DFT
+    # decomposes into per-chunk matmuls accumulated over j — no frame
+    # materialization or concat (Mosaic rejects concat of slices with
+    # mismatched sublane offsets).
     blocks = blocks_ref[0]
-    frames = jnp.concatenate(
-        [blocks[j:j + num_frames] for j in range(chunks)], axis=-1)
-
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.zeros((num_frames, cos_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((num_frames, cos_ref.shape[1]), jnp.float32)
+    for j in range(chunks):
+        chunk = blocks[j:j + num_frames]                  # (frames, hop)
+        # HIGHEST precision: TPU default matmul precision is bf16-multiply,
+        # which is far too lossy for a DFT
+        re += jnp.dot(chunk, cos_ref[j * hop:(j + 1) * hop, :],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        im += jnp.dot(chunk, sin_ref[j * hop:(j + 1) * hop, :],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im)
     acc_ref[:] += jnp.dot(mag, fbank_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(k == num_k - 1)
     def _():
@@ -119,7 +130,7 @@ def logmel_pallas(samples: jnp.ndarray,
     num_k = cos_m.shape[1] // _K_TILE
 
     kernel = functools.partial(_kernel, num_frames=num_frames,
-                               chunks=chunks, eps=1e-5)
+                               chunks=chunks, hop=hop, eps=1e-5)
     flops_per_step = 2 * num_frames * fft * _K_TILE * 2 \
         + 2 * num_frames * _K_TILE * config.num_mel_bins
     return pl.pallas_call(
