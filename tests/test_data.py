@@ -199,3 +199,38 @@ class TestLoader:
                           split_frame_length=256)
         assert len(DataLoader(ds, batch_size=2)) == 1
         assert len(DataLoader(ds, batch_size=1)) == 2
+
+
+@pytest.fixture(scope='module')
+def commu_root(tmp_path_factory):
+    """ComMU-format corpus: commu_audio_v2/<split>/*.wav paired with
+    commu_midi_v2/<split>/*.mid via path replacement."""
+    root = tmp_path_factory.mktemp('commu')
+    audio_dir = root / 'commu_audio_v2' / 'train'
+    midi_dir = root / 'commu_midi_v2' / 'train'
+    audio_dir.mkdir(parents=True)
+    midi_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for name in ['commu00001', 'commu00002']:
+        audio = (rng.normal(size=16000 * 8) * 0.05).astype(np.float32)
+        write_wav(audio_dir / f'{name}_16k.wav', audio, 16000)
+        notes = [(0.5 * i, 0.5 * i + 0.3, 50 + i) for i in range(12)]
+        _write_track(midi_dir / f'{name}.mid', notes, program=33)
+    return str(audio_dir)
+
+
+class TestComMUDataset:
+    def test_item_shapes_and_program(self, commu_root):
+        ds = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=3)
+        assert len(ds) == 2
+        item = ds[0]
+        assert item['audio'].shape == (3, 256 * 128)
+        assert item['targets'].shape == (3, 1024)
+        # program token for program 33 (+1132 codec, +3 specials) appears
+        assert (item['targets'] == 33 + 1132 + 3).any()
+
+    def test_contiguous_windows(self, commu_root):
+        """ComMU splits into contiguous mel_length windows (split length =
+        mel_length), unlike Slakh's 2000-frame windows."""
+        ds = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=8)
+        assert ds.split_frame_length == ds.mel_length
