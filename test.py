@@ -58,6 +58,7 @@ def main(argv=None):
         contiguous_inference=bool(cfg.eval.get('contiguous_inference')),
         use_tf_spectral_ops=bool(cfg.eval.get('use_tf_spectral_ops')),
         batch_size=int(cfg.eval.get('batch_size') or 8),
+        max_length=int(cfg.eval.get('max_length') or 1024),
     )
     return scores
 

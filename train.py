@@ -76,6 +76,7 @@ def main(argv=None):
                 use_tf_spectral_ops=bool(
                     cfg.eval.get('use_tf_spectral_ops')),
                 batch_size=int(cfg.eval.get('batch_size') or 8),
+                max_length=int(cfg.eval.get('max_length') or 1024),
                 verbose=False)
             return {
                 'f1_flat': scores.get('Onset F1', 0.0),
