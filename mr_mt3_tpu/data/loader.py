@@ -66,6 +66,18 @@ class DataLoader:
         out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # never block forever on a full queue: an abandoned iterator
+            # (consumer stopped mid-epoch) sets `stop`, and the producer
+            # must notice even while waiting for queue space
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             # single producer thread driving a pool keeps batch order
             import concurrent.futures
@@ -77,8 +89,10 @@ class DataLoader:
                     items = list(pool.map(self.dataset.__getitem__,
                                           batch_ids))
                     items = [it for it in items if it is not None]
-                    out_q.put(collate_batch(items) if items else None)
-            out_q.put(StopIteration)
+                    if not put_checking_stop(
+                            collate_batch(items) if items else None):
+                        return
+            put_checking_stop(StopIteration)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()

@@ -157,11 +157,13 @@ class InferenceHandler:
     def _get_segmem_fn(self):
         if self._segmem_fn is None:
             model, max_length = self.model, self.max_length
+            codec, vocab = self.codec, self.vocab
 
             @jax.jit
             def fn(variables, mel_segments):
                 return segmem_greedy_decode(model, variables, mel_segments,
-                                            max_length)
+                                            max_length,
+                                            codec=codec, vocab=vocab)
             self._segmem_fn = fn
         return self._segmem_fn
 
@@ -177,6 +179,8 @@ class InferenceHandler:
             tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
             return tokens[:n]
         b = self.batch_size
+        if self.cfg.segmem_variant == 'encoder_append':
+            return self._decode_segmem_chained([mel])[0]
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
@@ -188,6 +192,43 @@ class InferenceHandler:
             tokens = np.asarray(fn(self.variables, jnp.asarray(chunk)))
             outs.append(tokens)
         return np.concatenate(outs)[:n]
+
+    def _decode_segmem_chained(self, mels: List[np.ndarray]) -> List[np.ndarray]:
+        """Non-contiguous decode for encoder_append segmem models.
+
+        The reference's v2/with-prev generate() chains segment memory across
+        the rows of EVERY decode batch, even without contiguous_inference —
+        each batch of `batch_size` segments is a fresh sequential chain with
+        the standard memory seed (reference: models/t5_segmem_v2.py:169-233,
+        t5_segmem_v2_with_prev.py:226-297). Here each song's segments are cut
+        into chains of `batch_size`, and ALL chains (across songs) run as one
+        lockstep scan: batch axis = chains, scan axis = chain position.
+        Tail padding sits at chain ends, so it never pollutes real memory;
+        chains never cross song boundaries.
+        """
+        b = self.batch_size
+        chains = []          # (song_idx, n_segments, start_chain)
+        all_chunks = []
+        for mel in mels:
+            n = mel.shape[0]
+            num_chunks = math.ceil(n / b)
+            mel_p = np.zeros((num_chunks * b,) + mel.shape[1:], mel.dtype)
+            mel_p[:n] = mel
+            chains.append((n, len(all_chunks), num_chunks))
+            all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
+        padded_chains = _round_up(len(all_chunks), 4)  # shape bucketing
+        stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
+                           mels[0].dtype)
+        for i, chunk in enumerate(all_chunks):
+            stacked[i] = chunk
+        fn = self._get_segmem_fn()
+        tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+        out = []
+        for n, start, num_chunks in chains:
+            flat = tokens[start:start + num_chunks].reshape(
+                num_chunks * b, -1)
+            out.append(flat[:n])
+        return out
 
     # ---- host-side postprocess (reference: inference.py:206-234) ----
 
@@ -254,6 +295,9 @@ class InferenceHandler:
             tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
+        elif self.cfg.segmem_variant == 'encoder_append':
+            # per-song memory chains, batched across songs in lockstep
+            per_song = self._decode_segmem_chained(mels)
         else:
             all_mel = np.concatenate(mels, axis=0)
             all_tokens = self._decode_all(all_mel)

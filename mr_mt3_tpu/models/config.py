@@ -37,6 +37,10 @@ class MT3Config:
     segmem_variant: Optional[str] = None
     segmem_length: int = 64
     segmem_num_layers: int = 1
+    # first-segment decode memory seed: 'tie_eos' (v2-with-prev, the paper
+    # model — reference: models/t5_segmem_v2_with_prev.py:246-259) or
+    # 'eos' (v1/v2 — reference: models/t5_segmem_v2.py:189-195)
+    segmem_seed: str = 'tie_eos'
 
     # compute dtype for activations ('float32' or 'bfloat16'); params stay fp32
     dtype: str = 'float32'
@@ -80,6 +84,7 @@ def config_from_dict(d: dict) -> MT3Config:
         segmem_variant=variant,
         segmem_length=d.get('segmem_length', 64),
         segmem_num_layers=d.get('segmem_num_layers', 1),
+        segmem_seed=d.get('segmem_seed', 'tie_eos'),
         dtype=d.get('dtype', 'float32'),
         remat=bool(d.get('remat', False)),
     )

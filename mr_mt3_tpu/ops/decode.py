@@ -124,25 +124,39 @@ def make_greedy_decode_fn(model: MT3, max_length: int = 1024):
 
 
 def initial_segmem_tokens(cfg: MT3Config, batch: int,
-                          max_length: int) -> jnp.ndarray:
+                          max_length: int,
+                          codec=None, vocab=None) -> jnp.ndarray:
     """Memory seed for the first segment.
 
-    v2-with-prev seeds with [tie(encoded 1134), EOS, pad...]
-    (reference: models/t5_segmem_v2_with_prev.py:246-259); v1/v2 seed with
-    [EOS, pad...] (reference: models/t5_segmem.py:193-197).
+    v2-with-prev seeds with [tie, EOS, pad...] in model space (encoded 1134,
+    1 for the standard vocab — reference:
+    models/t5_segmem_v2_with_prev.py:246-259); v1/v2 seed with [EOS, pad...]
+    (reference: models/t5_segmem.py:193-197, t5_segmem_v2.py:189-195).
+    The tie id is derived from the codec + vocabulary (pass them for
+    non-default VocabularyConfigs; the default codec is built otherwise).
     """
     mem = jnp.zeros((batch, max_length), jnp.int32)
-    if cfg.segmem_variant == 'encoder_append':
-        mem = mem.at[:, 0].set(1134).at[:, 1].set(1)
+    if cfg.segmem_variant == 'encoder_append' and \
+            cfg.segmem_seed == 'tie_eos':
+        if codec is None:
+            from mr_mt3_tpu.codec import VocabularyConfig, build_codec
+            codec = build_codec(VocabularyConfig(num_velocity_bins=1))
+        if vocab is None:
+            from mr_mt3_tpu.codec import vocabulary_from_codec
+            vocab = vocabulary_from_codec(codec)
+        from mr_mt3_tpu.codec import Event
+        tie_id = (codec.encode_event(Event(type='tie', value=0))
+                  + vocab.num_special_tokens())
+        mem = mem.at[:, 0].set(tie_id).at[:, 1].set(cfg.eos_token_id)
     else:
-        mem = mem.at[:, 0].set(1)
+        mem = mem.at[:, 0].set(cfg.eos_token_id)
     return mem
 
 
 def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                          max_length: int = 1024,
-                         initial_memory: Optional[jnp.ndarray] = None
-                         ) -> jnp.ndarray:
+                         initial_memory: Optional[jnp.ndarray] = None,
+                         codec=None, vocab=None) -> jnp.ndarray:
     """Sequential segment-memory decode over one or more songs in lockstep.
 
     mel_segments: (B, S, frames, mel_bins) — S consecutive segments per song.
@@ -164,7 +178,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     enc = jnp.moveaxis(enc, 1, 0)  # (S, B, Lenc, D) for scan
 
     if initial_memory is None:
-        initial_memory = initial_segmem_tokens(cfg, b, max_length)
+        initial_memory = initial_segmem_tokens(cfg, b, max_length,
+                                               codec=codec, vocab=vocab)
 
     def seg_step(mem_tokens, enc_i):
         segmem = model.apply(variables, mem_tokens,

@@ -84,9 +84,10 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
                 pad_to_multiple: bool = True) -> Dict[str, jax.Array]:
     """Device-put a host batch with the leading axis split over 'data'.
 
-    Pads the batch (repeating final rows) so the leading dim divides the
-    data axis; training losses mask -100 targets, and repeated rows only
-    perturb gradient weighting negligibly at the final partial batch.
+    Pads the batch so the leading dim divides the data axis. Target-like
+    keys pad with -100 (the CE ignore index) and everything else with
+    zeros, so padding rows contribute exactly nothing to the masked losses
+    — partial final batches are unbiased, not reweighted.
     """
     n_data = mesh.shape['data']
     out = {}
@@ -94,7 +95,16 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
         b = value.shape[0]
         if b % n_data:
             pad = n_data - (b % n_data)
-            reps = value[-1:].repeat(pad, axis=0)
-            value = np.concatenate([value, reps], axis=0)
-        out[key] = jax.device_put(value, batch_sharding(mesh))
+            fill = -100 if key.startswith('targets') else 0
+            pad_block = np.full((pad,) + value.shape[1:], fill,
+                                dtype=value.dtype)
+            value = np.concatenate([value, pad_block], axis=0)
+        sharding = batch_sharding(mesh)
+        if jax.process_count() > 1:
+            # multihost: each process contributes its local rows; the
+            # global batch is the concatenation across processes
+            out[key] = jax.make_array_from_process_local_data(
+                sharding, value)
+        else:
+            out[key] = jax.device_put(value, sharding)
     return out

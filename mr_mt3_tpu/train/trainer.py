@@ -20,6 +20,7 @@ TPU-first details:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -38,7 +39,12 @@ from mr_mt3_tpu.audio.frontend import (
 )
 from mr_mt3_tpu.models import MT3
 from mr_mt3_tpu.parallel import mesh as mesh_lib
-from mr_mt3_tpu.train.losses import cross_entropy_loss, weighted_instrument_loss
+from mr_mt3_tpu.train.losses import (
+    INSTRUMENT_TOKEN_HI,
+    INSTRUMENT_TOKEN_LO,
+    cross_entropy_loss,
+    weighted_instrument_loss,
+)
 
 
 @flax.struct.dataclass
@@ -89,7 +95,10 @@ def make_train_step(model: MT3, optimizer,
             logs = {}
         return loss, logs
 
-    @jax.jit
+    # donate the input state: params + opt_state (~3 fp32 copies of 46M
+    # params) update in place instead of being re-allocated every step,
+    # saving the HBM round-trip on the whole optimizer pytree
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -116,12 +125,20 @@ def make_eval_step(model: MT3, loss_type: str = 'ce',
         logits = model.apply(
             {'params': params}, mel, labels=targets,
             targets_prev=batch.get('targets_prev'), deterministic=True)
+        # the loss denominator — shard_batch padding rows are all -100, so
+        # weighting batch losses by this count makes the epoch val_loss
+        # exact over partial batches
+        num_tokens = jnp.sum(targets != -100)
         if loss_type == 'weighted':
             loss, logs = weighted_instrument_loss(logits, targets)
+            # weighted CE divides by n_other + n_inst (losses.py:57)
+            num_tokens = num_tokens + jnp.sum(
+                (targets >= INSTRUMENT_TOKEN_LO) &
+                (targets <= INSTRUMENT_TOKEN_HI))
         else:
             loss = cross_entropy_loss(logits, targets)
             logs = {}
-        return {'loss': loss, **logs}
+        return {'loss': loss, 'num_tokens': num_tokens, **logs}
     return eval_step
 
 
@@ -261,7 +278,10 @@ class Trainer:
                          val_loss: float):
         if self.policy.save_last:
             self.save_checkpoint(state, 'last')
-        if epoch % max(1, self.policy.every_n_epochs):
+        # Lightning gates on completed-epoch count: save when
+        # (epoch + 1) % every_n_epochs == 0 (reference config surface:
+        # config/config.yaml:30-36) — NOT on epoch 0
+        if (epoch + 1) % max(1, self.policy.every_n_epochs):
             return
         if self.policy.save_top_k == 0:
             return
@@ -324,9 +344,16 @@ class Trainer:
         return state
 
     def validate(self, state: TrainState, val_loader) -> float:
-        losses = []
+        """Token-weighted mean val loss.
+
+        Each batch's loss is a mean over its real target tokens; weighting
+        by that token count (padding rows carry zero tokens) gives the
+        exact corpus-level mean, unbiased by partial batches."""
+        loss_sum, token_sum = 0.0, 0.0
         for batch in val_loader:
             sharded = mesh_lib.shard_batch(batch, self.mesh)
             metrics = self.eval_step(state.params, sharded)
-            losses.append(float(metrics['loss']))
-        return float(np.mean(losses)) if losses else float('nan')
+            n = float(metrics['num_tokens'])
+            loss_sum += float(metrics['loss']) * n
+            token_sum += n
+        return loss_sum / token_sum if token_sum else float('nan')

@@ -24,6 +24,12 @@ def build_model(cfg: ConfigNode) -> MT3:
     model_dict['segmem_variant'] = cfg.model.get('segmem_variant')
     model_dict['segmem_length'] = cfg.model.get('segmem_length', 64)
     model_dict['segmem_num_layers'] = cfg.model.get('segmem_num_layers', 1)
+    # v2 seeds its decode memory with [EOS] only; with-prev adds the tie
+    # token (reference: models/t5_segmem_v2.py:189-195 vs
+    # t5_segmem_v2_with_prev.py:246-259)
+    task = cfg.model.get('task') or {}
+    if task.get('segmem') == 'v2':
+        model_dict['segmem_seed'] = 'eos'
     # trainer.precision: 32 (reference default) or bf16 for bfloat16
     # activations with fp32 params/optimizer (mixed precision)
     precision = str((cfg.get('trainer') or {}).get('precision', '32'))

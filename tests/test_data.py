@@ -200,6 +200,33 @@ class TestLoader:
         assert len(DataLoader(ds, batch_size=2)) == 1
         assert len(DataLoader(ds, batch_size=1)) == 2
 
+    def test_abandoned_iterator_stops_producer(self):
+        """Breaking out of iteration mid-epoch must not leave the producer
+        thread blocked forever on a full prefetch queue."""
+        import threading
+        import time
+
+        class Counting:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {'x': np.full((1, 2), i, np.int64)}
+
+        before = threading.active_count()
+        loader = DataLoader(Counting(64), batch_size=1, shuffle=False,
+                            num_workers=1, prefetch=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch; generator finally sets stop
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
 
 @pytest.fixture(scope='module')
 def commu_root(tmp_path_factory):

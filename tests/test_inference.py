@@ -153,6 +153,142 @@ class TestTranscribeMany:
             assert len(s.notes) == len(b.notes)
 
 
+def _segmem_handler(max_length=12, batch_size=2, **kwargs):
+    cfg = SMALL.replace(segmem_variant='encoder_append', segmem_length=8)
+    model = MT3(cfg)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 256, 512)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                           targets_prev=jnp.zeros((1, 4), jnp.int32))
+    return InferenceHandler(model=model, variables=variables,
+                            max_length=max_length, batch_size=batch_size,
+                            **kwargs)
+
+
+class TestNonContiguousSegmemChain:
+    """Reference v2/with-prev generate() chains segment memory across the
+    rows of every decode batch even when contiguous_inference=False
+    (reference: models/t5_segmem_v2.py:169-233,
+    t5_segmem_v2_with_prev.py:226-297): each batch is a fresh sequential
+    chain. The handler must reproduce that, not fall back to memory-less
+    greedy decode."""
+
+    def test_matches_per_chunk_sequential_decode(self):
+        from mr_mt3_tpu.ops.decode import segmem_greedy_decode
+        h = _segmem_handler(batch_size=2)
+        rng = np.random.default_rng(11)
+        mel = rng.normal(size=(5, 256, 512)).astype(np.float32) * 0.5
+        got = h._decode_all(mel)
+        assert got.shape[0] == 5
+        # oracle: decode each batch_size-chunk as its own fresh chain
+        expect = []
+        for start in (0, 2, 4):
+            chunk = mel[start:start + 2]
+            toks = np.asarray(segmem_greedy_decode(
+                h.model, h.variables, jnp.asarray(chunk[None]),
+                max_length=h.max_length))[0]
+            expect.append(toks)
+        expect = np.concatenate(expect)[:5]
+        np.testing.assert_array_equal(got, expect)
+
+    def test_chain_tail_carries_head_memory(self):
+        """Row 1 of a chain sees row 0's tokens as memory: feeding that
+        memory explicitly must reproduce the chained row exactly."""
+        from mr_mt3_tpu.ops.decode import segmem_greedy_decode
+        h = _segmem_handler(batch_size=2)
+        rng = np.random.default_rng(12)
+        mel = rng.normal(size=(2, 256, 512)).astype(np.float32) * 0.5
+        chained = h._decode_all(mel)
+        mem = jnp.asarray(chained[0:1, :h.max_length])
+        row1 = np.asarray(segmem_greedy_decode(
+            h.model, h.variables, jnp.asarray(mel[1:2][None]),
+            max_length=h.max_length, initial_memory=mem))[0, 0]
+        np.testing.assert_array_equal(chained[1], row1)
+
+    def test_chain_resets_at_chunk_boundary(self):
+        """Segment 2 (head of chunk 2 with batch_size=2) decodes with the
+        fresh seed, independent of segments 0-1."""
+        from mr_mt3_tpu.ops.decode import segmem_greedy_decode
+        h = _segmem_handler(batch_size=2)
+        rng = np.random.default_rng(13)
+        mel = rng.normal(size=(3, 256, 512)).astype(np.float32) * 0.5
+        got = h._decode_all(mel)
+        solo = np.asarray(segmem_greedy_decode(
+            h.model, h.variables, jnp.asarray(mel[2:3][None]),
+            max_length=h.max_length))[0]
+        np.testing.assert_array_equal(got[2], solo[0])
+
+    def test_transcribe_many_chains_per_song(self):
+        """Chains never cross song boundaries in transcribe_many."""
+        h = _segmem_handler(batch_size=2)
+        rng = np.random.default_rng(14)
+        audios = [rng.normal(size=16000 * 3).astype(np.float32) * 0.1,
+                  rng.normal(size=16000 * 5).astype(np.float32) * 0.1]
+        singles = [h.transcribe(a) for a in audios]
+        batched = h.transcribe_many(audios)
+        for s, b in zip(singles, batched):
+            assert len(s.notes) == len(b.notes)
+            for ns_a, ns_b in zip(s.notes, b.notes):
+                assert ns_a == ns_b
+
+    def test_v1_decoder_prepend_stays_plain(self):
+        """Reference v1's plain generate() ignores segmem entirely
+        (reference: models/t5_segmem.py:254-311) — non-contiguous decode of
+        a decoder_prepend model is memory-less batched greedy."""
+        from mr_mt3_tpu.ops.decode import greedy_decode
+        cfg = SMALL.replace(segmem_variant='decoder_prepend',
+                            segmem_length=8)
+        model = MT3(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(5), jnp.zeros((1, 256, 512)),
+            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+            targets_prev=jnp.zeros((1, 4), jnp.int32))
+        h = InferenceHandler(model=model, variables=variables,
+                             max_length=12, batch_size=4)
+        rng = np.random.default_rng(15)
+        mel = rng.normal(size=(4, 256, 512)).astype(np.float32) * 0.5
+        got = h._decode_all(mel)
+        plain = np.asarray(greedy_decode(model, variables, jnp.asarray(mel),
+                                         max_length=12))
+        np.testing.assert_array_equal(got, plain)
+
+
+class TestSegmemSeed:
+    def test_default_seed_is_tie_eos(self):
+        from mr_mt3_tpu.ops.decode import initial_segmem_tokens
+        cfg = SMALL.replace(segmem_variant='encoder_append')
+        mem = np.asarray(initial_segmem_tokens(cfg, 2, 8))
+        # standard vocab: tie encoded = 1131 + 3 specials = 1134
+        np.testing.assert_array_equal(mem[0, :3], [1134, 1, 0])
+
+    def test_v2_eos_only_seed(self):
+        from mr_mt3_tpu.ops.decode import initial_segmem_tokens
+        cfg = SMALL.replace(segmem_variant='encoder_append',
+                            segmem_seed='eos')
+        mem = np.asarray(initial_segmem_tokens(cfg, 1, 8))
+        np.testing.assert_array_equal(mem[0, :3], [1, 0, 0])
+
+    def test_seed_derived_from_custom_vocabulary(self):
+        """Non-default VocabularyConfig shifts the tie id; the seed must
+        follow the codec, not a hardcoded 1134."""
+        from mr_mt3_tpu.codec import (
+            Event,
+            VocabularyConfig,
+            build_codec,
+            vocabulary_from_codec,
+        )
+        from mr_mt3_tpu.ops.decode import initial_segmem_tokens
+        codec = build_codec(VocabularyConfig(num_velocity_bins=127))
+        vocab = vocabulary_from_codec(codec)
+        tie = codec.encode_event(Event(type='tie', value=0)) + \
+            vocab.num_special_tokens()
+        assert tie != 1134  # the hardcode would be wrong here
+        cfg = SMALL.replace(segmem_variant='encoder_append')
+        mem = np.asarray(initial_segmem_tokens(cfg, 1, 8,
+                                               codec=codec, vocab=vocab))
+        np.testing.assert_array_equal(mem[0, :3], [tie, 1, 0])
+
+
 class TestDataParallelDecode:
     def test_sharded_batch_decode(self):
         """Greedy decode with the batch sharded over a data mesh (the

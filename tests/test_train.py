@@ -220,6 +220,72 @@ class TestTrainerLoop:
             np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+class TestCheckpointCadence:
+    def _fit(self, tmp_path, every_n_epochs, num_epochs):
+        from mr_mt3_tpu.train.trainer import CheckpointPolicy
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        batches = [_tiny_batch(np.random.default_rng(7), rows=2)]
+        trainer = Trainer(
+            model, optimizer, out_dir=str(tmp_path / 'run'),
+            mesh=make_mesh(data=1, model=1),
+            checkpoint_policy=CheckpointPolicy(
+                every_n_epochs=every_n_epochs))
+        trainer.fit(state, batches, val_loader=batches,
+                    num_epochs=num_epochs)
+        return sorted(c for c in os.listdir(trainer._ckpt_dir)
+                      if c.startswith('epoch='))
+
+    def test_every_n_epochs_matches_lightning(self, tmp_path):
+        """Lightning saves when (epoch+1) % n == 0 — with n=2 over 3 epochs
+        that is epoch index 1 only, never epoch 0
+        (reference: config/config.yaml:30-36)."""
+        saved = self._fit(tmp_path, every_n_epochs=2, num_epochs=3)
+        assert saved and all(c.startswith('epoch=1-') for c in saved)
+
+
+class TestValidateWeighting:
+    def test_val_loss_ignores_padding_and_weights_tokens(self, tmp_path):
+        """validate() must equal the exact corpus-level token mean: batches
+        of different sizes (incl. mesh-padded rows) may not be averaged
+        unweighted."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        rng = np.random.default_rng(21)
+        b1 = _tiny_batch(rng, rows=4)
+        b2 = _tiny_batch(rng, rows=1)  # partial batch
+        # give b2 a different number of real tokens per row
+        b2['targets'][:, 10:] = -100
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=2, model=1))
+        got = trainer.validate(state, [b1, b2])
+
+        # oracle: token-level CE over the union of all real tokens
+        def batch_ce_and_count(batch):
+            from mr_mt3_tpu.audio import SpectrogramConfig
+            from mr_mt3_tpu.train.trainer import batch_to_mel
+            mel = batch_to_mel(jnp.asarray(batch['audio']),
+                               jnp.asarray(batch['valid_frames']),
+                               SpectrogramConfig())
+            logits = model.apply({'params': state.params}, mel,
+                                 labels=jnp.asarray(batch['targets']),
+                                 deterministic=True)
+            n = int((batch['targets'] != -100).sum())
+            return float(cross_entropy_loss(
+                logits, jnp.asarray(batch['targets']))) * n, n
+        s1, n1 = batch_ce_and_count(b1)
+        s2, n2 = batch_ce_and_count(b2)
+        assert got == pytest.approx((s1 + s2) / (n1 + n2), rel=1e-5)
+
+
 class TestResume:
     def test_full_state_resume(self, tmp_path):
         """Optimizer state survives save/restore and training continues."""

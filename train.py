@@ -25,6 +25,17 @@ def main(argv=None):
     cfg = load_config(config_dir or os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'configs'), config_name, overrides)
 
+    if bool(cfg.get('multihost')):
+        # multi-process DCN training (one process per host): all hosts see
+        # the global device set and the ('data','model') mesh spans the
+        # slice; shardings in parallel/mesh.py are process-agnostic, and
+        # jax.jit turns host-local batches into the global batch. The
+        # reference's equivalent is Lightning spawning one proc per GPU
+        # under DDP (reference: config/config.yaml:45).
+        jax.distributed.initialize()
+        print(f'multihost: process {jax.process_index()}/'
+              f'{jax.process_count()}, {jax.device_count()} global devices')
+
     from mr_mt3_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     from mr_mt3_tpu.data import DataLoader
