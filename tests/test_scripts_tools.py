@@ -185,6 +185,116 @@ class TestT5XConverter:
             flat['target/encoder/continuous_inputs_projection/kernel'])
 
 
+class TestT5XConverterEndToEnd:
+    def test_pickle_to_orbax_forward_parity(self, tmp_path):
+        """Full converter run (pickled T5X tree -> Orbax) and load through
+        test.py's checkpoint path; logits must match the identical weights
+        round-tripped through the reference torch .pth format
+        (reference layout being reversed: tools/convert_weight.py:36-97)."""
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'tools'))
+        import convert_weight
+
+        from mr_mt3_tpu.models import MT3, MT3Config
+        from mr_mt3_tpu.utils import builders
+        from mr_mt3_tpu.utils.checkpoint_import import (
+            export_to_torch_state_dict,
+        )
+
+        cfg = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48,
+                        num_heads=4, num_encoder_layers=2,
+                        num_decoder_layers=2, mel_bins=512, dropout_rate=0.0)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 8, cfg.mel_bins)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        params = jax.tree.map(np.asarray, variables['params'])
+
+        # leg 1: torch .pth round trip (the reference's own export format)
+        pth = tmp_path / 'weights.pth'
+        torch.save({k: torch.from_numpy(np.array(v)) for k, v in
+                    export_to_torch_state_dict(params, cfg).items()},
+                   str(pth))
+        params_torch, _ = builders.load_weights(str(pth), model)
+
+        # leg 2: T5X-layout pickle -> convert_weight.main -> Orbax
+        flat = {}
+        for i in range(2):
+            blk, lyr = f'block_{i}', f'layers_{i}'
+            for sub_m, sub_t in (('q', 'query'), ('k', 'key'),
+                                 ('v', 'value'), ('o', 'out')):
+                flat[f'target/encoder/{lyr}/attention/{sub_t}/kernel'] = \
+                    params['encoder'][blk]['self_attn'][sub_m]['kernel']
+                flat[f'target/decoder/{lyr}/self_attention/{sub_t}/'
+                     'kernel'] = \
+                    params['decoder'][blk]['self_attn'][sub_m]['kernel']
+                flat[f'target/decoder/{lyr}/encoder_decoder_attention/'
+                     f'{sub_t}/kernel'] = \
+                    params['decoder'][blk]['cross_attn'][sub_m]['kernel']
+            for w in ('wi_0', 'wi_1', 'wo'):
+                flat[f'target/encoder/{lyr}/mlp/{w}/kernel'] = \
+                    params['encoder'][blk]['ff'][w]['kernel']
+                flat[f'target/decoder/{lyr}/mlp/{w}/kernel'] = \
+                    params['decoder'][blk]['ff'][w]['kernel']
+            flat[f'target/encoder/{lyr}/pre_attention_layer_norm/scale'] = \
+                params['encoder'][blk]['self_norm']['weight']
+            flat[f'target/encoder/{lyr}/pre_mlp_layer_norm/scale'] = \
+                params['encoder'][blk]['ff_norm']['weight']
+            flat[f'target/decoder/{lyr}/pre_self_attention_layer_norm/'
+                 'scale'] = params['decoder'][blk]['self_norm']['weight']
+            flat[f'target/decoder/{lyr}/pre_cross_attention_layer_norm/'
+                 'scale'] = params['decoder'][blk]['cross_norm']['weight']
+            flat[f'target/decoder/{lyr}/pre_mlp_layer_norm/scale'] = \
+                params['decoder'][blk]['ff_norm']['weight']
+        flat['target/encoder/encoder_norm/scale'] = \
+            params['encoder']['final_norm']['weight']
+        flat['target/decoder/decoder_norm/scale'] = \
+            params['decoder']['final_norm']['weight']
+        flat['target/encoder/continuous_inputs_projection/kernel'] = \
+            params['proj']['kernel']
+        flat['target/decoder/token_embedder/embedding'] = \
+            params['token_embed']['embedding']
+        flat['target/decoder/logits_dense/kernel'] = \
+            params['lm_head']['kernel']
+        # a state/ subtree the converter must skip, as in real T5X dumps
+        flat['state/param_states/step'] = np.zeros((), np.int32)
+
+        nested = {}
+        for key, value in flat.items():
+            node = nested
+            parts = key.split('/')
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(value)
+        pk = tmp_path / 't5x_state.pk'
+        with open(pk, 'wb') as f:
+            pickle.dump(nested, f)
+
+        out_dir = tmp_path / 'converted'
+        convert_weight.main(str(pk), str(out_dir))
+        params_t5x, step = builders.load_weights(str(out_dir), model)
+        assert step == 0
+
+        mel = np.random.default_rng(2).normal(
+            size=(2, 8, cfg.mel_bins)).astype(np.float32)
+        dec = np.array([[0, 5, 9, 1], [0, 7, 2, 1]], np.int32)
+
+        def logits(p):
+            return np.asarray(model.apply(
+                {'params': p}, jnp.asarray(mel),
+                decoder_input_ids=jnp.asarray(dec)))
+
+        base = logits(params)
+        np.testing.assert_allclose(logits(params_t5x), base, atol=1e-6)
+        np.testing.assert_allclose(logits(params_torch), base, atol=1e-5)
+
+
 class TestAdversarial:
     def test_fgsm_and_pgd(self):
         import jax

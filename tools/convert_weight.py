@@ -34,9 +34,23 @@ def flatten_state_dict(tree: Dict[str, Any], prefix: str = '') -> Dict[str, Any]
     return out
 
 
+def _count_layers(flat: Dict[str, np.ndarray], stack: str) -> int:
+    import re
+    pat = re.compile(rf'^target/{stack}/layers_(\d+)/')
+    found = {int(m.group(1)) for k in flat for m in [pat.match(k)] if m}
+    return max(found) + 1 if found else 0
+
+
 def t5x_to_flax_params(flat: Dict[str, np.ndarray],
-                       num_layers: int = 8) -> Dict[str, Any]:
-    """Map target/* T5X keys onto the mr_mt3_tpu.models.MT3 param tree."""
+                       num_layers: int = None) -> Dict[str, Any]:
+    """Map target/* T5X keys onto the mr_mt3_tpu.models.MT3 param tree.
+
+    num_layers defaults to the count present in the checkpoint (8 for the
+    official MT3 checkpoint, which is layer-symmetric)."""
+    if num_layers is None:
+        num_layers = _count_layers(flat, 'encoder')
+        assert num_layers == _count_layers(flat, 'decoder'), \
+            'asymmetric T5X stacks; pass num_layers explicitly'
     params: Dict[str, Any] = {}
 
     def put(path, value):
