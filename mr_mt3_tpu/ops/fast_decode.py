@@ -63,40 +63,59 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def precompute_cross_kv_stacked(dp: DecodeParams, cfg: MT3Config,
-                                encoder_out: jnp.ndarray
+                                encoder_out: jnp.ndarray,
+                                kv_layout: str = 'bhdk'
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(L, B, Lenc, H, Dk) cross-attention K/V for all layers in two
-    batched matmuls."""
+    """Cross-attention K/V for all layers in two batched matmuls.
+
+    kv_layout 'bhdk' -> (L, B, H, Dk, Lenc): the minor two dims (Dk=64,
+    Lenc) tile exactly onto the TPU's (16,128) bf16 layout; the legacy
+    'bkhd' -> (L, B, Lenc, H, Dk) leaves (H=6, Dk=64) minor, which XLA
+    pads ~5x in HBM.
+    """
     b, lenc, _ = encoder_out.shape
     enc = encoder_out.astype(dp.lm_head.dtype)
     wk = dp.layers['cross_attn']['k']['kernel']  # (L, D, inner)
     wv = dp.layers['cross_attn']['v']['kernel']
+    layers, heads, d_kv = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
+    if kv_layout == 'bhdk':
+        k = jnp.einsum('bsd,ldi->lbis', enc, wk)
+        v = jnp.einsum('bsd,ldi->lbis', enc, wv)
+        shape = (layers, b, heads, d_kv, lenc)
+        return k.reshape(shape), v.reshape(shape)
     k = jnp.einsum('bsd,ldi->lbsi', enc, wk)
     v = jnp.einsum('bsd,ldi->lbsi', enc, wv)
-    shape = (cfg.num_decoder_layers, b, lenc, cfg.num_heads, cfg.d_kv)
+    shape = (layers, b, lenc, heads, d_kv)
     return k.reshape(shape), v.reshape(shape)
 
 
 def init_cache_stacked(cfg: MT3Config, batch: int, max_len: int,
-                       dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       dtype=None, kv_layout: str = 'bhdk'
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if dtype is None:
         dtype = cfg.activation_dtype
-    shape = (cfg.num_decoder_layers, batch, max_len, cfg.num_heads, cfg.d_kv)
+    if kv_layout == 'bhdk':
+        shape = (cfg.num_decoder_layers, batch, cfg.num_heads, cfg.d_kv,
+                 max_len)
+    else:
+        shape = (cfg.num_decoder_layers, batch, max_len, cfg.num_heads,
+                 cfg.d_kv)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
 def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
                      tokens: jnp.ndarray, position: jnp.ndarray,
                      cache: Tuple[jnp.ndarray, jnp.ndarray],
-                     cross_kv: Tuple[jnp.ndarray, jnp.ndarray]
-                     ) -> Tuple[jnp.ndarray, Tuple]:
+                     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                     kv_layout: str = 'bhdk') -> Tuple[jnp.ndarray, Tuple]:
     """One greedy step. tokens (B,) -> (logits (B, vocab), new cache)."""
     eps = cfg.layer_norm_epsilon
     heads, d_kv = cfg.num_heads, cfg.d_kv
     k_cache, v_cache = cache
     cross_k, cross_v = cross_kv
     batch = tokens.shape[0]
-    max_len = k_cache.shape[2]
+    seq_last = kv_layout == 'bhdk'
+    max_len = k_cache.shape[-1] if seq_last else k_cache.shape[2]
 
     x = dp.token_embed[tokens][:, None, :]  # (B, 1, D)
     x = x + jax.lax.dynamic_slice_in_dim(dp.pos_table, position, 1, 0)
@@ -109,12 +128,19 @@ def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
         return y.reshape(batch, 1, heads, d_kv)
 
     def attend(q, k, v, mask):
-        scores = jnp.einsum('bqhd,bkhd->bhqk', q, k)
+        """q (B,1,H,Dk); k/v in (B,K,H,Dk) or (B,H,Dk,K) per layout."""
+        if seq_last:
+            scores = jnp.einsum('bqhd,bhdk->bhqk', q, k)
+        else:
+            scores = jnp.einsum('bqhd,bkhd->bhqk', q, k)
         if mask is not None:
             scores = scores + mask
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             q.dtype)
-        out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
+        if seq_last:
+            out = jnp.einsum('bhqk,bhdk->bqhd', probs, v)
+        else:
+            out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
         return out.reshape(batch, 1, heads * d_kv)
 
     def layer(carry, inp):
@@ -125,10 +151,18 @@ def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
         q = heads_of(h @ p['self_attn']['q']['kernel'])
         k_step = heads_of(h @ p['self_attn']['k']['kernel'])
         v_step = heads_of(h @ p['self_attn']['v']['kernel'])
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_step[None], (i, 0, position, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_step[None], (i, 0, position, 0, 0))
+        if seq_last:
+            k_upd = k_step.reshape(batch, heads, d_kv)[None, ..., None]
+            v_upd = v_step.reshape(batch, heads, d_kv)[None, ..., None]
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_upd, (i, 0, 0, 0, position))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_upd, (i, 0, 0, 0, position))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_step[None], (i, 0, position, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_step[None], (i, 0, position, 0, 0))
         k_all = jax.lax.dynamic_index_in_dim(k_cache, i, 0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(v_cache, i, 0, keepdims=False)
         attn = attend(q, k_all, v_all, step_mask)
@@ -156,21 +190,30 @@ def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
 
 def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                      encoder_out: jnp.ndarray, max_length: int,
-                     phases=(256, 512)) -> jnp.ndarray:
-    """Phase-chunked greedy decode; returns tokens (B, max_length + 1)."""
+                     phases=(256, 512),
+                     kv_layout: str = 'bhdk') -> jnp.ndarray:
+    """Phase-chunked greedy decode; returns tokens (B, max_length + 1).
+
+    kv_layout 'bhdk' keeps the sequence axis minor in the KV cache so the
+    (Dk, seq) tail tiles the TPU HBM layout exactly (the legacy 'bkhd'
+    layout pads the (H=6, Dk=64) tail ~5x and was measured ~45% slower).
+    """
     batch = encoder_out.shape[0]
-    cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out)
+    cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
+                                           kv_layout=kv_layout)
     bounds = [p for p in sorted(phases) if p < max_length] + [max_length]
 
-    cache = init_cache_stacked(cfg, batch, bounds[0])
+    cache = init_cache_stacked(cfg, batch, bounds[0], kv_layout=kv_layout)
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     finished = jnp.zeros((batch,), bool)
+    seq_axis = 4 if kv_layout == 'bhdk' else 2
 
     def body(state):
         i, tokens, cache, finished = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        logits, cache = decode_step_fast(cfg, dp, cur, i, cache, cross_kv)
+        logits, cache = decode_step_fast(cfg, dp, cur, i, cache, cross_kv,
+                                         kv_layout=kv_layout)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = finished | (nxt == cfg.eos_token_id)
@@ -184,9 +227,9 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
         if bound > cache_len:
             delta = bound - cache_len
             i, tokens, cache, finished = state
-            cache = jax.tree.map(
-                lambda a: jnp.pad(
-                    a, ((0, 0), (0, 0), (0, delta), (0, 0), (0, 0))), cache)
+            pad = [(0, 0)] * 5
+            pad[seq_axis] = (0, delta)
+            cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
             state = (i, tokens, cache, finished)
             cache_len = bound
 

@@ -56,14 +56,72 @@ def build_handler(argv):
         batch_size=int(cfg.eval.get('batch_size') or 8))
 
 
+class MicroBatcher:
+    """Coalesces concurrent transcription requests into one device batch.
+
+    Requests that arrive while the device is busy queue up; when the worker
+    frees, everything waiting (up to max_coalesce songs) runs as ONE
+    transcribe_many call — cross-song lockstep batching on the segment axis,
+    so N concurrent clients cost ~1 decode instead of N serialized ones.
+    """
+
+    def __init__(self, handler, max_coalesce: int = 8):
+        import queue
+        self.handler = handler
+        self.max_coalesce = max_coalesce
+        self.batches = 0
+        self._q: 'queue.Queue' = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def transcribe(self, audio):
+        done = threading.Event()
+        slot = {'result': None, 'error': None}
+        self._q.put((audio, slot, done))
+        done.wait()
+        if slot['error'] is not None:
+            raise slot['error']
+        return slot['result']
+
+    def _drain(self):
+        import queue
+        first = self._q.get()  # block for the first request
+        batch = [first]
+        while len(batch) < self.max_coalesce:
+            try:
+                batch.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._drain()
+            self.batches += 1
+            audios = [b[0] for b in batch]
+            try:
+                results = self.handler.transcribe_many(audios)
+                for (_, slot, done), ns in zip(batch, results):
+                    slot['result'] = ns
+                    done.set()
+            except Exception:
+                # isolate the failing song: fall back to per-request
+                for audio, slot, done in batch:
+                    try:
+                        slot['result'] = self.handler.transcribe(audio)
+                    except Exception as e:  # noqa: BLE001
+                        slot['error'] = e
+                    done.set()
+
+
 def make_server(handler, port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from mr_mt3_tpu.audio import resample
     from mr_mt3_tpu.midi.writer import note_sequence_to_midi_bytes
 
-    device_lock = threading.Lock()
-    stats = {'requests': 0, 'audio_seconds': 0.0}
+    batcher = MicroBatcher(handler)
+    stats = {'requests': 0, 'audio_seconds': 0.0, 'batches': 0}
 
     def decode_audio(body: bytes):
         import numpy as np
@@ -110,10 +168,10 @@ def make_server(handler, port: int):
             body = self.rfile.read(length)
             try:
                 audio = decode_audio(body)
-                with device_lock:
-                    ns = handler.transcribe(audio)
+                ns = batcher.transcribe(audio)
                 stats['requests'] += 1
                 stats['audio_seconds'] += len(audio) / 16000.0
+                stats['batches'] = batcher.batches
                 if self.path == '/transcribe.json':
                     notes = [{'pitch': n.pitch, 'start': n.start_time,
                               'end': n.end_time, 'velocity': n.velocity,

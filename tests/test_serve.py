@@ -98,3 +98,77 @@ class TestServer:
     def test_unknown_path_404(self, server):
         status, _, _ = _post(server + '/nope', b'')
         assert status == 404
+
+    def test_concurrent_requests_all_succeed(self, server):
+        wav = _wav_bytes(2.0)
+        results = [None] * 4
+
+        def call(i):
+            results[i] = _post(server + '/transcribe.json', wav)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, body, _ in results:
+            assert status == 200
+            assert 'notes' in json.loads(body)
+
+
+class TestMicroBatcher:
+    def test_coalesces_queued_requests(self):
+        """Requests queued while the device is busy run as ONE
+        transcribe_many call."""
+        import time
+
+        release = threading.Event()
+        calls = []
+
+        class SlowHandler:
+            def transcribe_many(self, audios):
+                calls.append(len(audios))
+                if len(calls) == 1:
+                    release.wait(timeout=10)
+
+                class NS:
+                    notes = []
+                return [NS() for _ in audios]
+
+        batcher = serve.MicroBatcher(SlowHandler())
+        threads = [threading.Thread(
+            target=batcher.transcribe, args=(np.zeros(10, np.float32),))
+            for _ in range(4)]
+        threads[0].start()
+        while not calls:  # wait until the worker holds request 0
+            time.sleep(0.005)
+        for t in threads[1:]:
+            t.start()
+        # requests 1-3 are all enqueued before the device frees
+        deadline = time.time() + 5
+        while batcher._q.qsize() < 3 and time.time() < deadline:
+            time.sleep(0.005)
+        release.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert calls[0] == 1
+        assert calls[1] == 3  # the 3 waiters coalesced into one batch
+    def test_error_isolation(self):
+        """A failing song in a coalesced batch must not fail its peers."""
+        class FlakyHandler:
+            def transcribe_many(self, audios):
+                raise RuntimeError('batch path fails')
+
+            def transcribe(self, audio):
+                if len(audio) == 1:
+                    raise ValueError('bad song')
+                class NS:
+                    notes = []
+                return NS()
+
+        batcher = serve.MicroBatcher(FlakyHandler())
+        good = batcher.transcribe(np.zeros(100, np.float32))
+        assert good is not None
+        with pytest.raises(ValueError):
+            batcher.transcribe(np.zeros(1, np.float32))
