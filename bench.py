@@ -1,14 +1,21 @@
 """Headline benchmark: Slakh transcription real-time factor on one chip.
 
-Workload: the flagship 46M MT3 model greedy-decoding 8 audio segments
-(16.4 s of 16 kHz audio) for the full 1024 steps with a KV cache —
-worst-case decode length (trained models stop at EOS much earlier, so real
-RTF is higher). Baseline: the reference's PyTorch-CPU decode (full decoder
-re-run per token, no KV cache — reference models/t5.py:267-295), measured
-on this machine by tools/measure_torch_baseline.py and cached in
+Two workloads, both worst-case full-1024-step greedy decodes (trained
+models emit EOS far earlier, so real RTF is higher):
+
+  1. headline — the 46M MT3 model decoding 64 segments (131 s of 16 kHz
+     audio) per batch, the best sustainable serving batch;
+  2. segmem_lockstep — the paper's flagship configuration: segmem
+     v2-with-prev contiguous decode, 16 songs x 8 segments in lockstep
+     (per-song sequential memory chains; the reference can only loop one
+     segment at a time — reference: models/t5_segmem_v2_with_prev.py:241-294).
+
+Baseline: the reference's PyTorch-CPU decode (full decoder re-run per
+token, no KV cache — reference models/t5.py:267-295), measured on this
+machine by tools/measure_torch_baseline.py and cached in
 benchmarks/baseline_torch_cpu.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -18,6 +25,20 @@ import time
 import numpy as np
 
 
+def _time_best(fn, make_args, reps=3):
+    import jax
+    args = make_args()
+    np.asarray(jax.tree.leaves(fn(*args))[0])  # compile + first exec
+    times = []
+    for _ in range(reps):
+        args = make_args()
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])  # host sync via transfer
+        times.append(time.time() - t0)
+    return min(times)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -25,36 +46,54 @@ def main():
     from mr_mt3_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
-    from mr_mt3_tpu.ops.decode import greedy_decode
+    from mr_mt3_tpu.ops.decode import greedy_decode, segmem_greedy_decode
 
     max_length = 1024
-    batch = 8
+    rng = np.random.default_rng(0)
+
+    def zero_variables(model, cfg):
+        # zero-init via eval_shape: avoids compiling+running the init
+        # program on device (tens of seconds on this platform); zero
+        # weights make argmax emit a non-EOS token forever = exact
+        # worst-case decode length
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
+                decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                **({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
+                   if cfg.has_segmem else {})))
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    # ---- headline: vanilla decode at the best sustainable batch ----
+    batch = 64
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
-    rng = np.random.default_rng(0)
-    # zero-init via eval_shape: avoids compiling+running the init program on
-    # device (tens of seconds on this platform); zero weights make argmax
-    # emit a non-EOS token forever = exact worst-case decode length
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
-                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32)))
-    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
+    variables = zero_variables(model, cfg)
     fn = jax.jit(lambda v, m: greedy_decode(model, v, m, max_length))
-    mel_warm = jnp.asarray(
-        rng.normal(size=(batch, 256, 512)).astype(np.float32))
-    np.asarray(fn(variables, mel_warm))  # compile (host sync via transfer)
 
-    times = []
-    for _ in range(3):
-        mel = jnp.asarray(
-            rng.normal(size=(batch, 256, 512)).astype(np.float32))
-        t0 = time.time()
-        np.asarray(fn(variables, mel))
-        times.append(time.time() - t0)
-    best = min(times)
+    def make_mel():
+        return (variables, jnp.asarray(
+            rng.normal(size=(batch, 256, 512)).astype(np.float32)))
+
+    best = _time_best(fn, make_mel)
     audio_sec = batch * 256 * 128 / 16000
     rtf = audio_sec / best
+
+    # ---- flagship: segmem with-prev contiguous, multi-song lockstep ----
+    songs, segs = 16, 8
+    scfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
+                     segmem_length=64)
+    smodel = MT3(scfg)
+    svariables = zero_variables(smodel, scfg)
+    sfn = jax.jit(lambda v, m: segmem_greedy_decode(smodel, v, m, max_length))
+
+    def make_seg():
+        return (svariables, jnp.asarray(
+            rng.normal(size=(songs, segs, 256, 512)).astype(np.float32)))
+
+    sbest = _time_best(sfn, make_seg)
+    seg_audio_sec = songs * segs * 256 * 128 / 16000
+    segmem_rtf = seg_audio_sec / sbest
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'benchmarks', 'baseline_torch_cpu.json')
@@ -68,8 +107,14 @@ def main():
     print(json.dumps({
         'metric': 'slakh_transcription_rtf_worst_case',
         'value': round(rtf, 3),
-        'unit': 'audio-sec/sec/chip (1024-step greedy decode, batch 8)',
+        'unit': 'audio-sec/sec/chip (1024-step greedy decode, batch 64)',
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
+        'extra': {
+            'segmem_lockstep_rtf': round(segmem_rtf, 3),
+            'segmem_lockstep_config': '16 songs x 8 segments, '
+                                      'with-prev contiguous chains',
+            'segmem_vs_vanilla': round(segmem_rtf / rtf, 3),
+        },
     }))
 
 

@@ -76,7 +76,8 @@ class InferenceHandler:
                  filterbank_style: str = 'torch',
                  batch_size: int = 8,
                  max_length: int = 1024,
-                 segment_bucket: int = 32):
+                 segment_bucket: int = 32,
+                 quantize: str = 'none'):
         if model is None:
             cfg = MT3Config()
             model = MT3(cfg)
@@ -93,6 +94,9 @@ class InferenceHandler:
         self.batch_size = batch_size
         self.max_length = max_length
         self.segment_bucket = segment_bucket
+        # 'int8': fused Pallas dequant kernels for FF + lm_head weight
+        # reads — opt-in serving speed mode, perturbs logits slightly
+        self.quantize = quantize
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)
         self.codec = build_codec(VocabularyConfig(num_velocity_bins=1))
@@ -147,10 +151,12 @@ class InferenceHandler:
     def _get_decode_fn(self):
         if self._decode_fn is None:
             model, max_length = self.model, self.max_length
+            quantize = self.quantize
 
             @jax.jit
             def fn(variables, mel):
-                return greedy_decode(model, variables, mel, max_length)
+                return greedy_decode(model, variables, mel, max_length,
+                                     quantize=quantize)
             self._decode_fn = fn
         return self._decode_fn
 
@@ -158,12 +164,14 @@ class InferenceHandler:
         if self._segmem_fn is None:
             model, max_length = self.model, self.max_length
             codec, vocab = self.codec, self.vocab
+            quantize = self.quantize
 
             @jax.jit
             def fn(variables, mel_segments):
                 return segmem_greedy_decode(model, variables, mel_segments,
                                             max_length,
-                                            codec=codec, vocab=vocab)
+                                            codec=codec, vocab=vocab,
+                                            quantize=quantize)
             self._segmem_fn = fn
         return self._segmem_fn
 

@@ -99,18 +99,22 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
 
 def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   max_length: int = 1024,
-                  use_fast: bool = True) -> jnp.ndarray:
+                  use_fast: bool = True,
+                  quantize: str = 'none') -> jnp.ndarray:
     """Vanilla MT3 transcription decode.
 
     mel: (B, frames, mel_bins) -> tokens (B, max_length + 1) with leading
     start token, matching the reference's generate() output layout.
     use_fast selects the scan-over-layers decode body (identical outputs,
     much smaller compiled program); the module-path loop remains for
-    debugging and the decoder_prepend variant.
+    debugging and the decoder_prepend variant. quantize='int8' runs the
+    FF + lm_head weight reads through the fused Pallas dequant kernels
+    (opt-in: faster at small batch, perturbs logits slightly).
     """
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
-        dp = stack_decode_params(variables['params'], model.cfg)
+        dp = stack_decode_params(variables['params'], model.cfg,
+                                 quantize=quantize)
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length)
     return _greedy_loop(model, variables, encoder_out, max_length)
 
@@ -156,7 +160,8 @@ def initial_segmem_tokens(cfg: MT3Config, batch: int,
 def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                          max_length: int = 1024,
                          initial_memory: Optional[jnp.ndarray] = None,
-                         codec=None, vocab=None) -> jnp.ndarray:
+                         codec=None, vocab=None,
+                         quantize: str = 'none') -> jnp.ndarray:
     """Sequential segment-memory decode over one or more songs in lockstep.
 
     mel_segments: (B, S, frames, mel_bins) — S consecutive segments per song.
@@ -168,7 +173,7 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
     use_fast = cfg.segmem_variant != 'decoder_prepend'
-    dp = (stack_decode_params(variables['params'], cfg)
+    dp = (stack_decode_params(variables['params'], cfg, quantize=quantize)
           if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)

@@ -26,32 +26,55 @@ from mr_mt3_tpu.models.mt3 import gelu_new, sinusoidal_position_table
 
 
 class DecodeParams(NamedTuple):
-    """Decoder weights arranged for the scan decode step."""
+    """Decoder weights arranged for the scan decode step.
+
+    With quantize='int8' the gated-FF weights move into layers['ff_i8']
+    (int8 + per-column scales, consumed by the fused Pallas kernel) and
+    lm_head_q/lm_head_scale replace the bf16 lm_head read."""
     layers: Dict[str, jnp.ndarray]   # leading (L, ...) axis per leaf
     token_embed: jnp.ndarray         # (vocab, D)
     final_norm: jnp.ndarray          # (D,)
     lm_head: jnp.ndarray             # (D, vocab)
     pos_table: jnp.ndarray           # (max_positions, D)
+    lm_head_q: Any = None            # (D, vocab) int8
+    lm_head_scale: Any = None        # (1, vocab) f32
 
 
 def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
-                        dtype=None) -> DecodeParams:
-    """Stack per-block decoder weights along a leading layer axis."""
+                        dtype=None, quantize: str = 'none') -> DecodeParams:
+    """Stack per-block decoder weights along a leading layer axis.
+
+    quantize='int8' quantizes the FF block + lm_head (the largest weight
+    reads) per output column for the fused Pallas dequant kernels."""
     if dtype is None:
         dtype = cfg.activation_dtype
     blocks = [params['decoder'][f'block_{i}']
               for i in range(cfg.num_decoder_layers)]
     layers = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *blocks)
+    lm_head = jnp.asarray(params['lm_head']['kernel'], dtype)
+    lm_head_q = lm_head_scale = None
+    if quantize == 'int8':
+        from mr_mt3_tpu.ops.int8_matmul import quantize_columns
+        ff = layers.pop('ff')
+        quant = jax.vmap(quantize_columns)
+        layers['ff_i8'] = {
+            name: dict(zip(('w', 's'),
+                           quant(ff[name]['kernel'].astype(jnp.float32))))
+            for name in ('wi_0', 'wi_1', 'wo')}
+        lm_head_q, lm_head_scale = quantize_columns(
+            lm_head.astype(jnp.float32))
     return DecodeParams(
         layers=layers,
         token_embed=jnp.asarray(params['token_embed']['embedding'], dtype),
         final_norm=jnp.asarray(params['decoder']['final_norm']['weight'],
                                jnp.float32),
-        lm_head=jnp.asarray(params['lm_head']['kernel'], dtype),
+        lm_head=lm_head if quantize == 'none' else jnp.zeros((0,), dtype),
         pos_table=jnp.asarray(
             sinusoidal_position_table(cfg.d_model, cfg.max_positions),
-            dtype))
+            dtype),
+        lm_head_q=lm_head_q,
+        lm_head_scale=lm_head_scale)
 
 
 def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -174,9 +197,18 @@ def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
         x = x + attn @ p['cross_attn']['o']['kernel']
         # gated-GELU MLP
         h = _rms(x, p['ff_norm']['weight'].astype(jnp.float32), eps)
-        h = gelu_new(h @ p['ff']['wi_0']['kernel']) * \
-            (h @ p['ff']['wi_1']['kernel'])
-        x = x + h @ p['ff']['wo']['kernel']
+        if 'ff_i8' in p:
+            from mr_mt3_tpu.ops.int8_matmul import int8_gated_ff
+            q = p['ff_i8']
+            ff_out = int8_gated_ff(
+                h[:, 0, :], q['wi_0']['w'], q['wi_0']['s'],
+                q['wi_1']['w'], q['wi_1']['s'],
+                q['wo']['w'], q['wo']['s'])
+            x = x + ff_out[:, None, :]
+        else:
+            h = gelu_new(h @ p['ff']['wi_0']['kernel']) * \
+                (h @ p['ff']['wi_1']['kernel'])
+            x = x + h @ p['ff']['wo']['kernel']
         return (x, k_cache, v_cache, i + 1), None
 
     (x, k_cache, v_cache, _), _ = jax.lax.scan(
@@ -184,19 +216,31 @@ def decode_step_fast(cfg: MT3Config, dp: DecodeParams,
         (dp.layers, cross_k, cross_v))
 
     x = _rms(x, dp.final_norm, eps)
-    logits = (x @ dp.lm_head)[:, 0]
+    if dp.lm_head_q is not None:
+        from mr_mt3_tpu.ops.int8_matmul import int8_matmul
+        logits = int8_matmul(x[:, 0, :], dp.lm_head_q, dp.lm_head_scale)
+    else:
+        logits = (x @ dp.lm_head)[:, 0]
     return logits, (k_cache, v_cache)
+
+
+DEFAULT_PHASES = tuple(range(64, 1024, 64))
 
 
 def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                      encoder_out: jnp.ndarray, max_length: int,
-                     phases=(256, 512),
+                     phases=DEFAULT_PHASES,
                      kv_layout: str = 'bhdk') -> jnp.ndarray:
     """Phase-chunked greedy decode; returns tokens (B, max_length + 1).
 
-    kv_layout 'bhdk' keeps the sequence axis minor in the KV cache so the
-    (Dk, seq) tail tiles the TPU HBM layout exactly (the legacy 'bkhd'
-    layout pads the (H=6, Dk=64) tail ~5x and was measured ~45% slower).
+    Defaults measured on one v5e chip at B=8 bf16, full 1024 steps:
+    64-step phases run 0.326 ms/step vs 0.532 at the old (256, 512)
+    schedule — the while-loop body only streams the KV window decoded so
+    far (~37% less self-KV traffic than 3 coarse phases), at the same
+    ~70 s first-execution cost. kv_layout 'bhdk' keeps the sequence axis
+    minor in the KV cache so the (Dk, seq) tail tiles the TPU HBM layout
+    exactly (the legacy 'bkhd' layout pads the (H=6, Dk=64) tail ~5x:
+    B=64 decode measured 3.30 -> 1.89 s after the switch).
     """
     batch = encoder_out.shape[0]
     cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,

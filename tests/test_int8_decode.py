@@ -1,0 +1,91 @@
+"""Int8 fused-kernel decode path: numerics and accuracy bounds.
+
+On CPU the Pallas kernels run in interpreter mode — same math, so these
+tests pin the quantization error itself, independent of the TPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.ops.decode import greedy_decode
+from mr_mt3_tpu.ops.int8_matmul import (
+    int8_gated_ff,
+    int8_matmul,
+    quantize_columns,
+)
+
+
+class TestKernels:
+    def test_int8_matmul_matches_dequant_reference(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(512, 1536)), jnp.float32)
+        w_q, scale = quantize_columns(w)
+        got = np.asarray(int8_matmul(x, w_q, scale, interpret=True))
+        want = np.asarray(x @ (w_q.astype(jnp.float32) * scale))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        # quantization error itself is bounded: scale/2 per weight
+        exact = np.asarray(x @ w)
+        err = np.abs(got - exact).max()
+        bound = float(np.abs(np.asarray(scale)).max()) * 0.5 * \
+            np.abs(np.asarray(x)).sum(axis=1).max()
+        assert err <= bound
+
+    def test_gated_ff_matches_bf16_formula(self):
+        from mr_mt3_tpu.models.mt3 import gelu_new
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(rng.normal(size=(8, 512)) * 0.5, jnp.float32)
+        w0 = jnp.asarray(rng.normal(size=(512, 1024)) * 0.05, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(512, 1024)) * 0.05, jnp.float32)
+        wo = jnp.asarray(rng.normal(size=(1024, 512)) * 0.05, jnp.float32)
+        q0, s0 = quantize_columns(w0)
+        q1, s1 = quantize_columns(w1)
+        qo, so = quantize_columns(wo)
+        got = np.asarray(int8_gated_ff(h, q0, s0, q1, s1, qo, so,
+                                       interpret=True))
+        want = np.asarray(
+            (gelu_new(h @ w0) * (h @ w1)) @ wo)
+        # int8 + bf16 accumulate: relative agreement at the percent level
+        denom = np.abs(want).max()
+        assert np.abs(got - want).max() / denom < 0.05
+
+    def test_row_padding(self):
+        """Batches below the 16-sublane tile pad transparently."""
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(3, 512)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(512, 128)), jnp.float32)
+        w_q, scale = quantize_columns(w)
+        out = int8_matmul(x, w_q, scale, interpret=True)
+        assert out.shape == (3, 128)
+
+
+class TestInt8DecodeAccuracy:
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_vanilla.npz')),
+        reason='parity goldens missing')
+    def test_token_flip_rate_on_parity_model(self):
+        """Int8 decode on the overfit parity model: the confident decode
+        path must survive quantization with zero token flips (margin ~2.0
+        vs per-step logit perturbation well under 0.5)."""
+        from tests.parity_common import VANILLA_CFG, load_golden, parity_corpus
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_vanilla.npz')
+        model = MT3(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   batch_size=4, quantize='int8')
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        golden = np.asarray(meta['tokens'][0])
+        flips = int((tokens != golden).sum())
+        total = golden.size
+        assert flips == 0, f'{flips}/{total} tokens flipped under int8'
