@@ -90,21 +90,26 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
     — partial final batches are unbiased, not reweighted.
     """
     n_data = mesh.shape['data']
+    procs = jax.process_count()
+    # each process holds an equal slice of the data axis; its local rows
+    # must divide its share of the data-axis devices
+    local_quota = max(1, n_data // procs)
     out = {}
     for key, value in batch.items():
         b = value.shape[0]
-        if b % n_data:
-            pad = n_data - (b % n_data)
+        if b % local_quota:
+            pad = local_quota - (b % local_quota)
             fill = -100 if key.startswith('targets') else 0
             pad_block = np.full((pad,) + value.shape[1:], fill,
                                 dtype=value.dtype)
             value = np.concatenate([value, pad_block], axis=0)
         sharding = batch_sharding(mesh)
-        if jax.process_count() > 1:
+        if procs > 1:
             # multihost: each process contributes its local rows; the
             # global batch is the concatenation across processes
+            global_shape = (value.shape[0] * procs,) + value.shape[1:]
             out[key] = jax.make_array_from_process_local_data(
-                sharding, value)
+                sharding, value, global_shape)
         else:
             out[key] = jax.device_put(value, sharding)
     return out
