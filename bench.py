@@ -3,7 +3,7 @@
 Two workloads, both worst-case full-1024-step greedy decodes (trained
 models emit EOS far earlier, so real RTF is higher):
 
-  1. headline — the 46M MT3 model decoding 64 segments (131 s of 16 kHz
+  1. headline — the 46M MT3 model decoding 128 segments (262 s of 16 kHz
      audio) per batch, the best sustainable serving batch;
   2. segmem_lockstep — the paper's flagship configuration: segmem
      v2-with-prev contiguous decode, 16 songs x 8 segments in lockstep
@@ -65,7 +65,7 @@ def main():
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     # ---- headline: vanilla decode at the best sustainable batch ----
-    batch = 64
+    batch = 128
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
     variables = zero_variables(model, cfg)
@@ -107,7 +107,7 @@ def main():
     print(json.dumps({
         'metric': 'slakh_transcription_rtf_worst_case',
         'value': round(rtf, 3),
-        'unit': 'audio-sec/sec/chip (1024-step greedy decode, batch 64)',
+        'unit': 'audio-sec/sec/chip (1024-step greedy decode, batch 128)',
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
         'extra': {
             'segmem_lockstep_rtf': round(segmem_rtf, 3),

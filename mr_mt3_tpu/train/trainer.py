@@ -40,6 +40,7 @@ from mr_mt3_tpu.audio.frontend import (
 from mr_mt3_tpu.models import MT3
 from mr_mt3_tpu.parallel import mesh as mesh_lib
 from mr_mt3_tpu.train.losses import (
+    IGNORE_INDEX,
     INSTRUMENT_TOKEN_HI,
     INSTRUMENT_TOKEN_LO,
     cross_entropy_loss,
@@ -57,6 +58,36 @@ class TrainState:
 def create_train_state(params, optimizer) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=optimizer.init(params))
+
+
+def bucket_targets(batch: Dict[str, Any], multiple: int = 128,
+                   keys=('targets',)) -> Dict[str, Any]:
+    """Trim all-padding target tails to the next multiple-of-`multiple`.
+
+    The datasets pad every target row to event_length=1024 with -100
+    (reference: dataset_2_random.py:292-306), but decoder self-attention is
+    causal and trailing pads sit AFTER every real token, so no real
+    position ever attends to them: the loss and gradients over the trimmed
+    batch are bit-identical while the decoder runs up to ~4x fewer
+    positions. Bucketing to multiples of `multiple` bounds the number of
+    compiled shapes at 1024/multiple. `targets_prev` is NOT trimmed: the
+    segmem memory encoder is bidirectional, so its pads do influence the
+    memory embedding (matching the reference's unmasked segmem encoder —
+    models/t5_segmem.py:57-65)."""
+    out = dict(batch)
+    for key in keys:
+        t = batch.get(key)
+        if t is None:
+            continue
+        valid = np.asarray(t != IGNORE_INDEX).any(axis=0)
+        if valid.any():
+            last = int(np.nonzero(valid)[0][-1]) + 1
+        else:
+            last = 1
+        length = min(((last + multiple - 1) // multiple) * multiple,
+                     t.shape[1])
+        out[key] = t[:, :length]
+    return out
 
 
 def batch_to_mel(audio: jnp.ndarray, valid_frames: jnp.ndarray,
@@ -204,6 +235,7 @@ class Trainer:
         lr_schedule: Optional[Callable] = None,
         seed: int = 365,
         mel_norm: bool = True,
+        bucket_targets: bool = True,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -218,6 +250,7 @@ class Trainer:
         self.lr_schedule = lr_schedule
         self.rng = jax.random.PRNGKey(seed)
         self.mel_norm = mel_norm
+        self.bucket_targets = bucket_targets
 
         self.train_step = make_train_step(model, optimizer,
                                           loss_type=loss_type,
@@ -310,6 +343,8 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             for batch in train_loader:
+                if self.bucket_targets:
+                    batch = bucket_targets(batch)
                 sharded = mesh_lib.shard_batch(batch, self.mesh)
                 state, metrics = self.train_step(state, sharded, self.rng)
                 step = int(state.step)
@@ -351,6 +386,8 @@ class Trainer:
         exact corpus-level mean, unbiased by partial batches."""
         loss_sum, token_sum = 0.0, 0.0
         for batch in val_loader:
+            if self.bucket_targets:
+                batch = bucket_targets(batch)
             sharded = mesh_lib.shard_batch(batch, self.mesh)
             metrics = self.eval_step(state.params, sharded)
             n = float(metrics['num_tokens'])

@@ -59,6 +59,7 @@ def main(argv=None):
         use_tf_spectral_ops=bool(cfg.eval.get('use_tf_spectral_ops')),
         batch_size=int(cfg.eval.get('batch_size') or 8),
         max_length=int(cfg.eval.get('max_length') or 1024),
+        songs_per_batch=int(cfg.eval.get('songs_per_batch') or 4),
     )
     return scores
 

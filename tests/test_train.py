@@ -220,6 +220,55 @@ class TestTrainerLoop:
             np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+class TestBucketTargets:
+    def test_trim_is_loss_and_grad_identical(self):
+        """Trailing all-pad target positions sit after every real token
+        under causal attention — trimming them must not change the loss or
+        gradients at all."""
+        from mr_mt3_tpu.train.trainer import bucket_targets
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        batch = _tiny_batch(np.random.default_rng(31), rows=2)
+        trimmed = bucket_targets(batch)
+        assert trimmed['targets'].shape[1] == 128  # 21 real -> bucket 128
+        assert batch['targets'].shape[1] == 1024  # input untouched
+
+        def loss_of(targets):
+            def fn(params):
+                from mr_mt3_tpu.train.trainer import batch_to_mel
+                from mr_mt3_tpu.audio import SpectrogramConfig
+                mel = batch_to_mel(jnp.asarray(batch['audio']),
+                                   jnp.asarray(batch['valid_frames']),
+                                   SpectrogramConfig())
+                logits = model.apply({'params': params}, mel,
+                                     labels=jnp.asarray(targets),
+                                     deterministic=True)
+                return cross_entropy_loss(logits, jnp.asarray(targets))
+            return jax.value_and_grad(fn)(variables['params'])
+
+        full_loss, full_grad = loss_of(batch['targets'])
+        trim_loss, trim_grad = loss_of(trimmed['targets'])
+        assert float(full_loss) == pytest.approx(float(trim_loss), rel=1e-6)
+        for a, b in zip(jax.tree.leaves(full_grad),
+                        jax.tree.leaves(trim_grad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_targets_prev_not_trimmed(self):
+        from mr_mt3_tpu.train.trainer import bucket_targets
+        batch = _tiny_batch(np.random.default_rng(32), rows=2,
+                            with_prev=True)
+        trimmed = bucket_targets(batch)
+        assert trimmed['targets_prev'].shape[1] == 1024
+
+    def test_all_pad_batch(self):
+        from mr_mt3_tpu.train.trainer import bucket_targets
+        batch = {'targets': np.full((2, 1024), -100, np.int64)}
+        assert bucket_targets(batch)['targets'].shape[1] == 128
+
+
 class TestCheckpointCadence:
     def _fit(self, tmp_path, every_n_epochs, num_epochs):
         from mr_mt3_tpu.train.trainer import CheckpointPolicy

@@ -115,7 +115,8 @@ def main(argv=None):
         eval_after_num_epoch=int(cfg.eval.get('eval_after_num_epoch') or 0),
         eval_per_epoch=int(cfg.eval.get('eval_per_epoch') or 1),
         lr_schedule=schedule,
-        seed=seed)
+        seed=seed,
+        bucket_targets=bool(cfg.trainer.get('bucket_targets', True)))
 
     params = builders.init_params(model, seed)
     start_epoch = 0
