@@ -20,23 +20,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 import json
 import os
-import time
 
 import numpy as np
-
-
-def _time_best(fn, make_args, reps=3):
-    import jax
-    args = make_args()
-    np.asarray(jax.tree.leaves(fn(*args))[0])  # compile + first exec
-    times = []
-    for _ in range(reps):
-        args = make_args()
-        t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])  # host sync via transfer
-        times.append(time.time() - t0)
-    return min(times)
 
 
 def main():
@@ -47,35 +32,23 @@ def main():
     enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
     from mr_mt3_tpu.ops.decode import greedy_decode, segmem_greedy_decode
+    from mr_mt3_tpu.utils.bench_helpers import time_best, zero_variables
 
     max_length = 1024
     rng = np.random.default_rng(0)
-
-    def zero_variables(model, cfg):
-        # zero-init via eval_shape: avoids compiling+running the init
-        # program on device (tens of seconds on this platform); zero
-        # weights make argmax emit a non-EOS token forever = exact
-        # worst-case decode length
-        shapes = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
-                decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
-                **({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
-                   if cfg.has_segmem else {})))
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     # ---- headline: vanilla decode at the best sustainable batch ----
     batch = 128
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
-    variables = zero_variables(model, cfg)
+    variables = zero_variables(model)
     fn = jax.jit(lambda v, m: greedy_decode(model, v, m, max_length))
 
     def make_mel():
         return (variables, jnp.asarray(
             rng.normal(size=(batch, 256, 512)).astype(np.float32)))
 
-    best = _time_best(fn, make_mel)
+    best = time_best(fn, make_mel)
     audio_sec = batch * 256 * 128 / 16000
     rtf = audio_sec / best
 
@@ -84,14 +57,14 @@ def main():
     scfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
                      segmem_length=64)
     smodel = MT3(scfg)
-    svariables = zero_variables(smodel, scfg)
+    svariables = zero_variables(smodel)
     sfn = jax.jit(lambda v, m: segmem_greedy_decode(smodel, v, m, max_length))
 
     def make_seg():
         return (svariables, jnp.asarray(
             rng.normal(size=(songs, segs, 256, 512)).astype(np.float32)))
 
-    sbest = _time_best(sfn, make_seg)
+    sbest = time_best(sfn, make_seg)
     seg_audio_sec = songs * segs * 256 * 128 / 16000
     segmem_rtf = seg_audio_sec / sbest
 

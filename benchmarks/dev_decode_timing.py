@@ -10,10 +10,11 @@ Usage: python benchmarks/dev_decode_timing.py [case ...]
 Cases: batch phases segmem all
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -31,21 +32,14 @@ def main():
         stack_decode_params,
     )
 
+    from mr_mt3_tpu.utils.bench_helpers import zero_variables
+
     cases = set(sys.argv[1:]) or {'batch', 'phases'}
     if 'all' in cases:
         cases = {'batch', 'phases', 'segmem'}
 
     max_length = 1024
     rng = np.random.default_rng(0)
-
-    def zero_variables(cfg, model):
-        shapes = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
-                decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
-                **({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
-                   if cfg.has_segmem else {})))
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     def time_fn(fn, *args, reps=3):
         out = fn(*args)
@@ -60,7 +54,7 @@ def main():
 
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
-    variables = zero_variables(cfg, model)
+    variables = zero_variables(model)
 
     if 'batch' in cases:
         print('== batch scaling (phases 256/512, full 1024 steps) ==',
@@ -96,7 +90,7 @@ def main():
         scfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
                          segmem_length=64)
         smodel = MT3(scfg)
-        svars = zero_variables(scfg, smodel)
+        svars = zero_variables(smodel)
         for songs, segs in ((8, 8), (16, 4)):
             mel = jnp.asarray(
                 rng.normal(size=(songs, segs, 256, 512)), jnp.float32)

@@ -35,20 +35,38 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
                  num_workers: int = 4, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 shard_rank: int = 0, shard_count: int = 1):
+        """shard_rank/shard_count: multihost data sharding — every process
+        shuffles the SAME order (same seed) and takes a disjoint stride of
+        the batch list, so the global epoch covers each item once. With
+        shard_count > 1 a failed item raises instead of shrinking the
+        batch: processes must keep identical batch shapes or the global
+        array assembly diverges."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.shard_rank = shard_rank
+        self.shard_count = max(1, shard_count)
         self._rng = np.random.default_rng(seed)
 
-    def __len__(self) -> int:
+    def _num_global_batches(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def __len__(self) -> int:
+        n = self._num_global_batches()
+        if self.shard_count > 1:
+            # batches are strided across shards; ranks below the remainder
+            # get one extra
+            return n // self.shard_count + \
+                (1 if self.shard_rank < n % self.shard_count else 0)
+        return n
 
     def _batches(self) -> List[List[int]]:
         order = np.arange(len(self.dataset))
@@ -59,6 +77,8 @@ class DataLoader:
         if self.drop_last and batches and \
                 len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.shard_count > 1:
+            batches = batches[self.shard_rank::self.shard_count]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -81,17 +101,27 @@ class DataLoader:
         def worker():
             # single producer thread driving a pool keeps batch order
             import concurrent.futures
-            with concurrent.futures.ThreadPoolExecutor(
-                    max_workers=self.num_workers) as pool:
-                for batch_ids in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          batch_ids))
-                    items = [it for it in items if it is not None]
-                    if not put_checking_stop(
-                            collate_batch(items) if items else None):
-                        return
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                        max_workers=self.num_workers) as pool:
+                    for batch_ids in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_ids))
+                        kept = [it for it in items if it is not None]
+                        if self.shard_count > 1 and len(kept) != len(items):
+                            # a silently shrunk batch would desync the
+                            # global array shapes across processes
+                            raise RuntimeError(
+                                f'{len(items) - len(kept)} dataset item(s) '
+                                'failed under multihost sharding')
+                        if not put_checking_stop(
+                                collate_batch(kept) if kept else None):
+                            return
+            except BaseException as e:  # forward to the consumer
+                put_checking_stop(e)
+                return
             put_checking_stop(StopIteration)
 
         thread = threading.Thread(target=worker, daemon=True)
@@ -101,6 +131,8 @@ class DataLoader:
                 item = out_q.get()
                 if item is StopIteration:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 if item is not None:
                     yield item
         finally:

@@ -95,7 +95,9 @@ class InferenceHandler:
         self.max_length = max_length
         self.segment_bucket = segment_bucket
         # 'int8': fused Pallas dequant kernels for FF + lm_head weight
-        # reads — opt-in serving speed mode, perturbs logits slightly
+        # reads — opt-in MEMORY mode (halves those reads' HBM footprint;
+        # measured slower at batch 8, neutral at 64 — PERF.md), perturbs
+        # logits slightly
         self.quantize = quantize
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)
@@ -215,7 +217,7 @@ class InferenceHandler:
         chains never cross song boundaries.
         """
         b = self.batch_size
-        chains = []          # (song_idx, n_segments, start_chain)
+        chains = []   # per song: (n_segments, first_chain_idx, num_chains)
         all_chunks = []
         for mel in mels:
             n = mel.shape[0]

@@ -108,14 +108,18 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
     use_fast selects the scan-over-layers decode body (identical outputs,
     much smaller compiled program); the module-path loop remains for
     debugging and the decoder_prepend variant. quantize='int8' runs the
-    FF + lm_head weight reads through the fused Pallas dequant kernels
-    (opt-in: faster at small batch, perturbs logits slightly).
+    FF + lm_head weight reads through the fused Pallas dequant kernels —
+    an opt-in MEMORY mode: it halves those weight reads' HBM footprint but
+    measured slower at batch 8 and neutral at batch 64 (PERF.md), and
+    perturbs logits slightly.
     """
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(variables['params'], model.cfg,
                                  quantize=quantize)
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length)
+    if quantize != 'none':
+        raise ValueError('quantize is only supported with use_fast=True')
     return _greedy_loop(model, variables, encoder_out, max_length)
 
 
@@ -173,6 +177,9 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
     use_fast = cfg.segmem_variant != 'decoder_prepend'
+    if not use_fast and quantize != 'none':
+        raise ValueError(
+            'quantize is not supported for decoder_prepend models')
     dp = (stack_decode_params(variables['params'], cfg, quantize=quantize)
           if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes

@@ -56,14 +56,18 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
     lm_head_q = lm_head_scale = None
     if quantize == 'int8':
         from mr_mt3_tpu.ops.int8_matmul import quantize_columns
-        ff = layers.pop('ff')
+        layers.pop('ff')
         quant = jax.vmap(quantize_columns)
+        # quantize the ORIGINAL (typically fp32) weights, not the stacked
+        # activation-dtype copies — going through bf16 first would compound
+        # two roundings into the int8 codes
         layers['ff_i8'] = {
-            name: dict(zip(('w', 's'),
-                           quant(ff[name]['kernel'].astype(jnp.float32))))
+            name: dict(zip(('w', 's'), quant(jnp.stack(
+                [jnp.asarray(b['ff'][name]['kernel'], jnp.float32)
+                 for b in blocks]))))
             for name in ('wi_0', 'wi_1', 'wo')}
         lm_head_q, lm_head_scale = quantize_columns(
-            lm_head.astype(jnp.float32))
+            jnp.asarray(params['lm_head']['kernel'], jnp.float32))
     return DecodeParams(
         layers=layers,
         token_embed=jnp.asarray(params['token_embed']['embedding'], dtype),

@@ -12,10 +12,12 @@ in-register, so weight traffic actually halves:
                        HBM round trips
 
 Quantization is symmetric per output column: scale_j = max|W[:, j]| / 127.
-Used by the opt-in `quant='int8'` decode path (ops/fast_decode.py); the
-bf16 path remains the default because int8 perturbs logits (token flip
-rate is measured in tests/test_int8_decode.py against the parity-harness
-weights).
+Used by the opt-in `quantize='int8'` decode path (ops/fast_decode.py).
+bf16 stays the default: the traffic halving is real but per-launch
+overhead made int8 measurably SLOWER at batch 8 and neutral at batch 64
+(PERF.md negative results), and int8 perturbs logits (token flip rate is
+pinned in tests/test_int8_decode.py against the parity-harness weights).
+It remains useful where weight HBM footprint matters more than latency.
 
 Reference hot loop this accelerates: the per-token full-decoder re-run at
 models/t5.py:267-295.

@@ -73,7 +73,13 @@ def bucket_targets(batch: Dict[str, Any], multiple: int = 128,
     compiled shapes at 1024/multiple. `targets_prev` is NOT trimmed: the
     segmem memory encoder is bidirectional, so its pads do influence the
     memory embedding (matching the reference's unmasked segmem encoder —
-    models/t5_segmem.py:57-65)."""
+    models/t5_segmem.py:57-65).
+
+    NOT safe for batch-internal segmem batches (a segmem model trained
+    WITHOUT explicit targets_prev — MT3NetSegMem v1 / MT3NetSegMemV2):
+    there the memory ids derive from the decoder inputs themselves
+    (models/mt3.py batch_internal_segmem_ids), so trimming would change
+    the bidirectional memory encoding. Trainer.fit gates on that."""
     out = dict(batch)
     for key in keys:
         t = batch.get(key)
@@ -262,6 +268,12 @@ class Trainer:
         self._ckpt_dir = os.path.join(os.path.abspath(out_dir), 'checkpoints')
         self._ckpt_scores = []  # (score, epoch)
 
+    def _can_bucket(self, batch) -> bool:
+        """Trimming is loss-identical only when the memory ids do not
+        derive from the trimmed targets (see bucket_targets docstring)."""
+        return self.bucket_targets and (
+            not self.model.cfg.has_segmem or 'targets_prev' in batch)
+
     # ---- checkpointing (orbax) ----
 
     def _checkpointer(self):
@@ -343,7 +355,7 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             for batch in train_loader:
-                if self.bucket_targets:
+                if self._can_bucket(batch):
                     batch = bucket_targets(batch)
                 sharded = mesh_lib.shard_batch(batch, self.mesh)
                 state, metrics = self.train_step(state, sharded, self.rng)
@@ -386,7 +398,7 @@ class Trainer:
         exact corpus-level mean, unbiased by partial batches."""
         loss_sum, token_sum = 0.0, 0.0
         for batch in val_loader:
-            if self.bucket_targets:
+            if self._can_bucket(batch):
                 batch = bucket_targets(batch)
             sharded = mesh_lib.shard_batch(batch, self.mesh)
             metrics = self.eval_step(state.params, sharded)

@@ -1,0 +1,45 @@
+"""Shared helpers for the benchmark scripts (bench.py, benchmarks/*).
+
+Timing on the tunneled axon TPU has two traps these helpers encode:
+  * model.init on device costs tens of seconds — zero-init the parameter
+    pytree from eval_shape instead (zero weights also make argmax emit a
+    non-EOS token forever = exact worst-case decode length);
+  * block_until_ready can return early on this platform — sync by pulling
+    a leaf to the host.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def zero_variables(model):
+    """Zero parameter pytree for `model` without touching the device."""
+    import jax
+    import jax.numpy as jnp
+    cfg = model.cfg
+    kwargs = ({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
+              if cfg.has_segmem else {})
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, cfg.mel_bins)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                           **kwargs))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def time_best(fn, make_args, reps: int = 3) -> float:
+    """Best-of-reps wall time of fn(*make_args()), host-transfer synced."""
+    import jax
+    args = make_args()
+    np.asarray(jax.tree.leaves(fn(*args))[0])  # compile + first exec
+    times = []
+    for _ in range(reps):
+        args = make_args()
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        times.append(time.time() - t0)
+    return min(times)

@@ -100,18 +100,29 @@ class MicroBatcher:
             self.batches += 1
             audios = [b[0] for b in batch]
             try:
-                results = self.handler.transcribe_many(audios)
-                for (_, slot, done), ns in zip(batch, results):
-                    slot['result'] = ns
-                    done.set()
-            except Exception:
-                # isolate the failing song: fall back to per-request
-                for audio, slot, done in batch:
-                    try:
-                        slot['result'] = self.handler.transcribe(audio)
-                    except Exception as e:  # noqa: BLE001
-                        slot['error'] = e
-                    done.set()
+                try:
+                    results = self.handler.transcribe_many(audios)
+                    if len(results) != len(batch):
+                        raise RuntimeError(
+                            f'transcribe_many returned {len(results)} '
+                            f'results for {len(batch)} songs')
+                    for (_, slot, done), ns in zip(batch, results):
+                        slot['result'] = ns
+                        done.set()
+                except Exception:
+                    # isolate the failing song: fall back to per-request
+                    for audio, slot, done in batch:
+                        try:
+                            slot['result'] = self.handler.transcribe(audio)
+                        except Exception as e:  # noqa: BLE001
+                            slot['error'] = e
+                        done.set()
+            except BaseException as e:  # never die with waiters blocked
+                for _, slot, done in batch:
+                    if not done.is_set():
+                        slot['error'] = RuntimeError(
+                            f'transcription worker error: {e!r}')
+                        done.set()
 
 
 def make_server(handler, port: int):
@@ -122,6 +133,7 @@ def make_server(handler, port: int):
 
     batcher = MicroBatcher(handler)
     stats = {'requests': 0, 'audio_seconds': 0.0, 'batches': 0}
+    stats_lock = threading.Lock()
 
     def decode_audio(body: bytes):
         import numpy as np
@@ -169,9 +181,10 @@ def make_server(handler, port: int):
             try:
                 audio = decode_audio(body)
                 ns = batcher.transcribe(audio)
-                stats['requests'] += 1
-                stats['audio_seconds'] += len(audio) / 16000.0
-                stats['batches'] = batcher.batches
+                with stats_lock:
+                    stats['requests'] += 1
+                    stats['audio_seconds'] += len(audio) / 16000.0
+                    stats['batches'] = batcher.batches
                 if self.path == '/transcribe.json':
                     notes = [{'pitch': n.pitch, 'start': n.start_time,
                               'end': n.end_time, 'velocity': n.velocity,

@@ -268,6 +268,26 @@ class TestBucketTargets:
         batch = {'targets': np.full((2, 1024), -100, np.int64)}
         assert bucket_targets(batch)['targets'].shape[1] == 128
 
+    def test_batch_internal_segmem_not_bucketed(self, tmp_path):
+        """A segmem model trained WITHOUT explicit targets_prev derives
+        its memory ids from the targets (batch_internal_segmem_ids), so
+        the Trainer must skip trimming for those batches."""
+        cfg = TINY.replace(segmem_variant='encoder_append', segmem_length=8)
+        model = MT3(cfg)
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1))
+        batch_no_prev = _tiny_batch(np.random.default_rng(33), rows=2)
+        assert not trainer._can_bucket(batch_no_prev)
+        batch_prev = _tiny_batch(np.random.default_rng(34), rows=2,
+                                 with_prev=True)
+        assert trainer._can_bucket(batch_prev)
+        # vanilla model: always safe
+        vtrainer = Trainer(MT3(TINY), optimizer,
+                           out_dir=str(tmp_path / 'run2'),
+                           mesh=make_mesh(data=1, model=1))
+        assert vtrainer._can_bucket(batch_no_prev)
+
 
 class TestCheckpointCadence:
     def _fit(self, tmp_path, every_n_epochs, num_epochs):

@@ -54,14 +54,18 @@ def main(argv=None):
     optimizer, schedule = builders.build_optimizer(cfg)
     train_ds, val_ds = builders.build_datasets(cfg)
 
+    # multihost: each process loads a disjoint stride of the (identically
+    # shuffled) batch list — the DDP-equivalent per-rank sampler
+    shard = dict(shard_rank=jax.process_index(),
+                 shard_count=jax.process_count())
     train_loader = DataLoader(
         train_ds, batch_size=int(cfg.dataloader.train.batch_size),
         num_workers=int(cfg.dataloader.train.num_workers) or 1,
-        shuffle=True, seed=seed)
+        shuffle=True, seed=seed, **shard)
     val_loader = DataLoader(
         val_ds, batch_size=int(cfg.dataloader.val.batch_size),
         num_workers=max(1, int(cfg.dataloader.val.num_workers)),
-        shuffle=False, seed=seed)
+        shuffle=False, seed=seed, **shard)
 
     mesh = make_mesh(model=int(cfg.get('model_devices') or 1))
     out_dir = cfg.get('out_dir') or 'runs/default'
