@@ -44,6 +44,7 @@ from mr_mt3_tpu.train.trainer import create_train_state, make_train_step
 from tests.parity_common import (
     MAX_LENGTH,
     NUM_SEGMENTS,
+    V1_CFG,
     VANILLA_CFG,
     WITHPREV_CFG,
     audio_sha,
@@ -168,6 +169,39 @@ def main():
     assert marginp > MIN_MARGIN, f'withprev decode not confident: {marginp}'
     save_golden('parity_withprev.npz', paramsp, tokens=tokensp,
                 margin=np.float32(marginp), audio_sha=np.bytes_(sha),
+                max_length=np.int32(MAX_LENGTH))
+
+    # ---------- segmem v1 (decoder-prepend), contiguous generate_2 ----------
+    print('training v1 (decoder_prepend) parity model')
+    # v1 trains with batch-internal memory (no targets_prev in the batch —
+    # reference: models/t5_segmem.py:125-132), on the plain dataset
+    model1 = MT3(V1_CFG)
+    params1 = overfit(model1, batch)  # same plain-Slakh batch as vanilla
+
+    handler1 = InferenceHandler(model=model1,
+                                variables={'params': params1},
+                                max_length=MAX_LENGTH,
+                                contiguous_inference=True,
+                                segment_bucket=1)
+    tokens1, margins1 = [], []
+    for audio in audios:
+        segments, _, valid = handler1._audio_to_segments(audio)
+        mel = handler1._compute_mel(segments, valid)
+        toks = handler1._decode_all(mel)
+        tokens1.append(toks)
+        prev = np.asarray(initial_segmem_tokens(
+            model1.cfg, 1, MAX_LENGTH))
+        for i in range(toks.shape[0]):
+            margins1.append(decode_margin(
+                model1, params1, mel[i:i + 1], toks[i:i + 1],
+                targets_prev=prev))
+            prev = toks[i:i + 1, :MAX_LENGTH]
+    tokens1 = np.stack(tokens1).astype(np.int32)
+    margin1 = float(min(margins1))
+    print(f'v1 margin {margin1:.3f}')
+    assert margin1 > MIN_MARGIN, f'v1 decode not confident: {margin1}'
+    save_golden('parity_v1.npz', params1, tokens=tokens1,
+                margin=np.float32(margin1), audio_sha=np.bytes_(sha),
                 max_length=np.int32(MAX_LENGTH))
     print('goldens written to tests/goldens/')
 

@@ -38,6 +38,8 @@ VANILLA_CFG = MT3Config(d_model=96, d_kv=24, d_ff=192, num_heads=4,
                         dropout_rate=0.0)
 WITHPREV_CFG = VANILLA_CFG.replace(segmem_variant='encoder_append',
                                    segmem_length=16)
+V1_CFG = VANILLA_CFG.replace(segmem_variant='decoder_prepend',
+                             segmem_length=16, segmem_seed='eos')
 MAX_LENGTH = 1024  # reference decode budget (inference.py:187)
 NUM_SEGMENTS = 3   # trained/transcribed span per song, 256 frames each
 
