@@ -126,5 +126,43 @@ class TestCliEndToEnd:
         assert (midi_out / 'Track00001' / 'mix.mid').exists()
 
 
-# reuse the corpus fixture from test_data
-from tests.test_data import slakh_root  # noqa: E402,F401
+@pytest.mark.slow
+class TestCliCommuEndToEnd:
+    def test_commu_train_then_test(self, tmp_path, commu_root):
+        """Full ComMU flow through the real CLIs: single-track dataset,
+        {name}.mid output layout, ComMU eval pairing
+        (reference: test.py:46-56, config paths in config_commu)."""
+        import test as test_cli
+        import train as train_cli
+
+        out_dir = tmp_path / 'commu_run'
+        val_root = commu_root  # reuse train split as val for the fixture
+        argv = [
+            '--config-name=config_commu',
+            f'dataset.train.root_dir={commu_root}',
+            f'dataset.val.root_dir={val_root}',
+            f'out_dir={out_dir}',
+            'num_rows_per_batch=2',
+        ] + TINY_OVERRIDES
+        train_cli.main(argv)
+        ckpt = out_dir / 'checkpoints' / 'final'
+        assert ckpt.exists()
+
+        midi_out = tmp_path / 'commu_midis'
+        gt_dir = str(commu_root).replace('commu_audio_v2', 'commu_midi_v2')
+        scores = test_cli.main([
+            '--config-name=config_commu',
+            f'path={ckpt}',
+            f'dataset.test.root_dir={gt_dir}',
+            f'eval.audio_dir={commu_root}/*.wav',
+            f'eval.exp_tag_name={midi_out}',
+            f'eval.midi_dir={gt_dir}',
+            'eval.eval_dataset=ComMU',
+            'eval.batch_size=2',
+        ] + TINY_OVERRIDES)
+        assert 'Onset F1' in scores
+        assert (midi_out / 'commu00001_16k.mid').exists()
+
+
+# reuse the corpus fixtures from test_data
+from tests.test_data import commu_root, slakh_root  # noqa: E402,F401
