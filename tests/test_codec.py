@@ -298,3 +298,61 @@ class TestDecodeEvents:
             start_time=1.0, max_time=None, codec=codec,
             decode_event_fn=decode_fn)
         assert times == [pytest.approx(1.1), pytest.approx(1.35)]
+
+
+class TestTolerantDecodeFuzz:
+    """Randomized streams through the full tolerant decode pipeline.
+
+    The reference's detokenizer is deliberately tolerant of invalid tokens
+    (reference: run_length_encoding.py:216-248,
+    note_sequences.py:310-385); a model emitting garbage must degrade to
+    counted invalid/dropped events, never crash, and always yield a
+    structurally valid NoteSequence. This is the fuzz seam SURVEY §4 calls
+    out."""
+
+    def test_random_token_streams_never_crash(self, codec):
+        from mr_mt3_tpu.codec import DECODED_EOS_ID, DECODED_INVALID_ID
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.codec.combine import event_predictions_to_ns
+
+        for seed in range(25):
+            rng = np.random.default_rng(seed)
+            predictions = []
+            for seg in range(3):
+                n = int(rng.integers(0, 60))
+                # mix: valid codec range, decoder sentinels, and way
+                # out-of-range ids
+                tokens = rng.integers(-2, codec.num_classes + 50, size=n)
+                tokens = np.where(rng.random(n) < 0.1,
+                                  DECODED_INVALID_ID, tokens)
+                predictions.append({
+                    'est_tokens': tokens,
+                    'start_time': seg * 2.048,
+                    'raw_inputs': [],
+                })
+            result = event_predictions_to_ns(
+                predictions, codec=codec,
+                encoding_spec=nsq.NoteEncodingWithTiesSpec)
+            ns = result['est_ns']
+            for note in ns.notes:
+                assert note.end_time >= note.start_time >= 0.0
+                assert 0 <= note.pitch <= 127
+                assert 0 <= note.velocity <= 127
+            assert result['est_invalid_events'] >= 0
+            assert result['est_dropped_events'] >= 0
+
+    def test_pure_garbage_yields_empty_or_valid(self, codec):
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.codec.combine import event_predictions_to_ns
+        rng = np.random.default_rng(99)
+        predictions = [{
+            'est_tokens': rng.integers(codec.num_classes,
+                                       codec.num_classes + 200, size=40),
+            'start_time': 0.0,
+            'raw_inputs': [],
+        }]
+        result = event_predictions_to_ns(
+            predictions, codec=codec,
+            encoding_spec=nsq.NoteEncodingWithTiesSpec)
+        assert len(result['est_ns'].notes) == 0
+        assert result['est_invalid_events'] == 40
