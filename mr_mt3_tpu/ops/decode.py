@@ -107,17 +107,21 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
     start token, matching the reference's generate() output layout.
     use_fast selects the scan-over-layers decode body (identical outputs,
     much smaller compiled program); the module-path loop remains for
-    debugging and the decoder_prepend variant. quantize='int8' runs the
-    FF + lm_head weight reads through the fused Pallas dequant kernels —
-    an opt-in MEMORY mode: it halves those weight reads' HBM footprint but
-    measured slower at batch 8 and neutral at batch 64 (PERF.md), and
-    perturbs logits slightly.
+    debugging and the decoder_prepend variant. quantize:
+      'int8'    — FF + lm_head weights through fused Pallas dequant
+                  kernels (memory mode; measured slower at batch 8,
+                  neutral at 64 — PERF.md);
+      'int8_kv' — the self/cross KV caches in int8 with a Pallas dequant
+                  attention kernel (the KV cache dominates traffic at
+                  large batch). Both perturb logits slightly.
     """
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
-        dp = stack_decode_params(variables['params'], model.cfg,
-                                 quantize=quantize)
-        return greedy_loop_fast(model.cfg, dp, encoder_out, max_length)
+        dp = stack_decode_params(
+            variables['params'], model.cfg,
+            quantize='int8' if quantize == 'int8' else 'none')
+        return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
+                                quantize=quantize)
     if quantize != 'none':
         raise ValueError('quantize is only supported with use_fast=True')
     return _greedy_loop(model, variables, encoder_out, max_length)
@@ -180,8 +184,10 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     if not use_fast and quantize != 'none':
         raise ValueError(
             'quantize is not supported for decoder_prepend models')
-    dp = (stack_decode_params(variables['params'], cfg, quantize=quantize)
-          if use_fast else None)
+    dp = (stack_decode_params(
+        variables['params'], cfg,
+        quantize='int8' if quantize == 'int8' else 'none')
+        if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)
     flat = mel_segments.reshape((b * s,) + mel_segments.shape[2:])
@@ -198,14 +204,16 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                              method=MT3.compute_segmem)  # (B, L_agg, D)
         if cfg.segmem_variant == 'encoder_append':
             enc_aug = jnp.concatenate([enc_i, segmem], axis=1)
-            tokens = greedy_loop_fast(cfg, dp, enc_aug, max_length)
+            tokens = greedy_loop_fast(cfg, dp, enc_aug, max_length,
+                                      quantize=quantize)
         elif cfg.segmem_variant == 'decoder_prepend':
             # v1: memory becomes a decoder-input prefix, prefilled into the
             # KV cache (reference: models/t5_segmem.py:207-236 generate_2)
             tokens = _greedy_loop(model, variables, enc_i, max_length,
                                   decoder_prefix_embeds=segmem)
         else:
-            tokens = greedy_loop_fast(cfg, dp, enc_i, max_length)
+            tokens = greedy_loop_fast(cfg, dp, enc_i, max_length,
+                                      quantize=quantize)
         # next memory = this segment's tokens incl. start id, cropped to
         # max_length (reference pads/crops to max_length)
         mem_next = tokens[:, :max_length]

@@ -1,0 +1,108 @@
+"""Int8-KV decode attention kernel.
+
+At large decode batches the KV cache dominates HBM traffic (B=128:
+~1.3 GB/step of ~1.5 GB total — PERF.md roofline), so halving KV bytes is
+the biggest remaining throughput lever. Plain XLA int8 hits the same trap
+as int8 weights (the int8->bf16 convert materializes in HBM); this Pallas
+kernel reads the int8 cache into VMEM and dequantizes in-register.
+
+MEASURED NEGATIVE RESULT (kept as an opt-in experiment — see PERF.md):
+the elementwise VPU dequant of the full cache costs more compute than the
+bandwidth it saves (B=128: 7.86 vs 1.75 ms/step bf16). A winning variant
+needs int8 math on the MXU end to end (int8 q x k with int32 accumulate,
+quantized probabilities), not dequant-then-float.
+
+Quantization is symmetric per (batch, head, position): each appended K/V
+row gets its own scale, written alongside the int8 cache in the decode
+carry. Used by the opt-in `quantize='int8_kv'` decode mode
+(ops/fast_decode.py); bf16 stays the default because quantized KV
+perturbs logits (flip rate pinned in tests/test_int8_decode.py).
+
+Reference hot loop this accelerates: the per-token full-decoder re-run at
+models/t5.py:267-295.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover
+        return False
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., dk, K) float -> ((..., dk, K) int8, (..., 1, K) f32 scales).
+
+    One scale per position (the trailing K axis), shared across dk."""
+    x = jnp.asarray(x, jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _attention_kernel(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      out_ref):
+    # block = one batch row: q (H, dk); k/v (H, dk, K) int8; scales (H,1,K)
+    position = pos_ref[0]
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32) * ks_ref[0]
+    scores = jnp.sum(q[:, :, None] * k, axis=1)  # (H, K)
+    kk = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(kk <= position, scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    v = v_ref[0].astype(jnp.float32) * vs_ref[0]
+    out = jnp.sum(probs[:, None, :] * v, axis=-1)  # (H, dk)
+    out_ref[0, 0, :] = out.reshape(-1).astype(out_ref.dtype)
+
+
+def int8_decode_attention(q: jnp.ndarray,
+                          k_q: jnp.ndarray, k_scale: jnp.ndarray,
+                          v_q: jnp.ndarray, v_scale: jnp.ndarray,
+                          position: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Single-query attention over an int8 KV cache.
+
+    q: (B, H, dk) bf16/f32 — the current step's queries.
+    k_q/v_q: (B, H, dk, K) int8; k_scale/v_scale: (B, H, 1, K) f32.
+    position: scalar int32 — only cache slots <= position participate.
+    Returns (B, H * dk) in q.dtype.
+    """
+    b, h, dk = q.shape
+    k_len = k_q.shape[-1]
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        _attention_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, dk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dk, k_len), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 1, k_len), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dk, k_len), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 1, k_len), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # a (B, 1, H*dk) output lets each grid step own a (1, 1, H*dk)
+        # block — TPU block dims must divide (8, 128) OR equal the array
+        # dims, and the singleton middle axis satisfies the latter (a flat
+        # (1, H*dk) row block or a dynamic per-row store both fail Mosaic)
+        out_specs=pl.BlockSpec((1, 1, h * dk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h * dk), q.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(pos, q, k_q, k_scale, v_q, v_scale)
+    return out[:, 0, :]

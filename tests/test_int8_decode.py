@@ -65,6 +65,62 @@ class TestKernels:
         assert out.shape == (3, 128)
 
 
+class TestInt8KvAttention:
+    def test_kernel_matches_dense_attention(self):
+        """Interpret-mode kernel vs plain softmax attention on dequantized
+        values — only quantization error remains."""
+        from mr_mt3_tpu.ops.int8_attention import (
+            int8_decode_attention,
+            quantize_kv_rows,
+        )
+        rng = np.random.default_rng(0)
+        b, h, dk, klen = 2, 6, 64, 128
+        q = jnp.asarray(rng.normal(size=(b, h, dk)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, h, dk, klen)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, dk, klen)), jnp.float32)
+        kq, ks = quantize_kv_rows(k)
+        vq, vs = quantize_kv_rows(v)
+        position = 100  # slots 101..127 masked
+        got = np.asarray(int8_decode_attention(q, kq, ks, vq, vs,
+                                               position, interpret=True))
+        k_dq = np.asarray(kq, np.float32) * np.asarray(ks)
+        v_dq = np.asarray(vq, np.float32) * np.asarray(vs)
+        scores = np.einsum('bhd,bhdk->bhk', np.asarray(q), k_dq)
+        scores[..., position + 1:] = -1e9
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        want = np.einsum('bhk,bhdk->bhd', probs, v_dq).reshape(b, h * dk)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        # and close to the unquantized attention
+        scores_f = np.einsum('bhd,bhdk->bhk', np.asarray(q), np.asarray(k))
+        scores_f[..., position + 1:] = -1e9
+        probs_f = np.exp(scores_f - scores_f.max(-1, keepdims=True))
+        probs_f /= probs_f.sum(-1, keepdims=True)
+        exact = np.einsum('bhk,bhdk->bhd', probs_f,
+                          np.asarray(v)).reshape(b, h * dk)
+        assert np.abs(got - exact).max() < 0.2
+
+    def test_int8_kv_decode_runs_and_matches_shape(self):
+        """Full greedy decode through the int8_kv path (interpret mode)."""
+        from mr_mt3_tpu.ops.decode import greedy_decode
+        cfg = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48,
+                        num_heads=4, num_encoder_layers=1,
+                        num_decoder_layers=1, mel_bins=512,
+                        dropout_rate=0.0)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 256, 512)), jnp.float32)
+        toks = np.asarray(greedy_decode(model, variables, mel,
+                                        max_length=12,
+                                        quantize='int8_kv'))
+        assert toks.shape == (2, 13)
+        assert (toks[:, 0] == 0).all()
+
+
 class TestInt8DecodeAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),
@@ -89,3 +145,28 @@ class TestInt8DecodeAccuracy:
         flips = int((tokens != golden).sum())
         total = golden.size
         assert flips == 0, f'{flips}/{total} tokens flipped under int8'
+
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_vanilla.npz')),
+        reason='parity goldens missing')
+    def test_int8_kv_token_flip_rate_on_parity_model(self):
+        """Int8 KV decode on the overfit parity model: per-position scales
+        keep attention outputs within ~0.4% relative, far below the ~2.0
+        decode margin — zero flips expected."""
+        from tests.parity_common import VANILLA_CFG, load_golden, parity_corpus
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_vanilla.npz')
+        model = MT3(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model,
+                                   variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   batch_size=4, quantize='int8_kv')
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        golden = np.asarray(meta['tokens'][0])
+        flips = int((tokens != golden).sum())
+        assert flips == 0, \
+            f'{flips}/{golden.size} tokens flipped under int8_kv'
