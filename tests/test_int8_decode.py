@@ -68,7 +68,9 @@ class TestKernels:
 class TestInt8KvAttention:
     def test_kernel_matches_dense_attention(self):
         """Interpret-mode kernel vs plain softmax attention on dequantized
-        values — only quantization error remains."""
+        values — the kernel additionally quantizes q and the (v-scale-
+        folded) probabilities to int8 for the MXU dots, so agreement is at
+        the ~1% level, not exact."""
         from mr_mt3_tpu.ops.int8_attention import (
             int8_decode_attention,
             quantize_kv_rows,
@@ -90,7 +92,10 @@ class TestInt8KvAttention:
         probs = np.exp(scores - scores.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
         want = np.einsum('bhk,bhdk->bhd', probs, v_dq).reshape(b, h * dk)
-        np.testing.assert_allclose(got, want, atol=2e-3)
+        # random q/k give maximally DIFFUSE attention — the worst case for
+        # probability quantization (~0.06 abs on ~N(0,0.3) outputs);
+        # trained peaked attention errs far less (see the zero-flip test)
+        np.testing.assert_allclose(got, want, atol=0.08)
         # and close to the unquantized attention
         scores_f = np.einsum('bhd,bhdk->bhk', np.asarray(q), np.asarray(k))
         scores_f[..., position + 1:] = -1e9
