@@ -192,3 +192,49 @@ class TestProgramAwareScores:
         assert full['Onset F1'] == pytest.approx(0.5)
         only_first = evaluate_main('Slakh', str(out), str(gt), first_n=1)
         assert only_first['Onset F1'] == 1.0
+
+
+class TestBandedMatchingEquivalence:
+    """match_notes builds its candidate set from an onset-sorted band
+    (sparse) instead of dense (n_ref x n_est) matrices; the maximum
+    matching cardinality — which is all P/R/F1 uses — must equal the
+    dense brute-force formulation on randomized instances."""
+
+    @staticmethod
+    def _brute_count(ref_i, ref_p, est_i, est_p, offset_ratio, strict):
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import maximum_bipartite_matching
+        cmp = np.less if strict else np.less_equal
+        hit = cmp(np.abs(ref_i[:, 0:1] - est_i[None, :, 0]), 0.05)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            pd = np.abs(1200.0 * np.log2(
+                ref_p[:, None].astype(float) / est_p[None, :]))
+        hit &= cmp(pd, 50.0)
+        if offset_ratio is not None:
+            tol = np.maximum(offset_ratio * (ref_i[:, 1] - ref_i[:, 0]),
+                             0.05)
+            hit &= cmp(np.abs(ref_i[:, 1:2] - est_i[None, :, 1]),
+                       tol[:, None])
+        if not hit.any():
+            return 0
+        m = maximum_bipartite_matching(csr_matrix(hit), perm_type='column')
+        return int((m >= 0).sum())
+
+    def test_matches_dense_brute_force(self):
+        from mr_mt3_tpu.eval.transcription import match_notes
+        for seed in range(30):
+            rng = np.random.default_rng(seed)
+            nr, ne = rng.integers(0, 60, 2)
+            ref_i = np.sort(rng.uniform(0, 10, (nr, 2)), axis=1)
+            est_i = np.sort(rng.uniform(0, 10, (ne, 2)), axis=1)
+            ref_p = rng.integers(50, 70, nr)
+            est_p = rng.integers(50, 70, ne)
+            for oratio in (None, 0.2):
+                for strict in (False, True):
+                    got = len(match_notes(ref_i, ref_p, est_i, est_p,
+                                          offset_ratio=oratio,
+                                          strict=strict))
+                    want = (self._brute_count(ref_i, ref_p, est_i, est_p,
+                                              oratio, strict)
+                            if nr and ne else 0)
+                    assert got == want, (seed, oratio, strict)
