@@ -164,5 +164,66 @@ class TestCliCommuEndToEnd:
         assert (midi_out / 'commu00001_16k.mid').exists()
 
 
+@pytest.mark.slow
+class TestCliNSynthEval:
+    def test_nsynth_eval_filters_and_scores(self, tmp_path):
+        """NSynth eval through the real CLI: per-clip {name}.mid outputs,
+        the vocal/mallet filename filter, and the 50 ms leading pad
+        (reference: test.py:38-39,117-119)."""
+        import test as test_cli
+
+        from mr_mt3_tpu.audio import write_wav
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+
+        wav_dir = tmp_path / 'nsynth_wav'
+        gt_dir = tmp_path / 'nsynth_gt'
+        wav_dir.mkdir()
+        gt_dir.mkdir()
+        rng = np.random.default_rng(0)
+        names = ['guitar_acoustic_000-060-100',
+                 'keyboard_electronic_001-064-075']
+        for name in names + ['vocal_synthetic_002-062-050']:
+            audio = (rng.normal(size=16000 * 4) * 0.05).astype(np.float32)
+            write_wav(wav_dir / f'{name}.wav', audio, 16000)
+        for name in names:  # GT only for the non-filtered clips
+            ns = nsq.NoteSequence()
+            pitch = int(name.split('-')[1])
+            ns.add_note(start_time=0.05, end_time=4.0, pitch=pitch,
+                        velocity=100, program=24, is_drum=False,
+                        instrument=0)
+            ns.total_time = 4.0
+            note_sequence_to_midi_file(ns, gt_dir / f'{name}.mid')
+
+        # random-weight checkpoint (eval plumbing, not quality)
+        import orbax.checkpoint as ocp
+
+        from mr_mt3_tpu.utils import builders
+        from mr_mt3_tpu.utils.config import load_config
+        cfg = load_config(CONFIG_DIR, 'config', overrides=TINY_OVERRIDES)
+        model = builders.build_model(cfg)
+        params = builders.init_params(model, seed=0)
+        ckpt = tmp_path / 'ckpt'
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(ckpt), {'params': params,
+                               'step': np.zeros((), np.int32)}, force=True)
+        ckptr.wait_until_finished()
+
+        midi_out = tmp_path / 'nsynth_midis'
+        scores = test_cli.main([
+            '--config-name=config',
+            f'path={ckpt}',
+            f'eval.audio_dir={wav_dir}/*.wav',
+            f'eval.exp_tag_name={midi_out}',
+            f'eval.midi_dir={gt_dir}',
+            'eval.eval_dataset=NSynth',
+            'eval.batch_size=2',
+        ] + TINY_OVERRIDES)
+        assert 'Onset F1' in scores
+        produced = sorted(os.listdir(midi_out))
+        assert produced == [f'{n}.mid' for n in sorted(names)], \
+            f'vocal clip not filtered: {produced}'
+
+
 # reuse the corpus fixtures from test_data
 from tests.test_data import commu_root, slakh_root  # noqa: E402,F401
