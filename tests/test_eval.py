@@ -238,3 +238,57 @@ class TestBandedMatchingEquivalence:
                                               oratio, strict)
                             if nr and ne else 0)
                     assert got == want, (seed, oratio, strict)
+
+
+class TestAuxEvalHelpers:
+    def _write(self, path, notes, program=0, is_drum=False):
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+        ns = nsq.NoteSequence()
+        for start, end, pitch in notes:
+            ns.add_note(start_time=start, end_time=end, pitch=pitch,
+                        velocity=100, program=program, is_drum=is_drum,
+                        instrument=9 if is_drum else 0)
+            ns.total_time = max(ns.total_time, end)
+        note_sequence_to_midi_file(ns, path)
+
+    def test_compute_transcription_metrics(self, tmp_path):
+        """Onset-only vs onset+offset P/R/F1 helper
+        (reference: evaluate.py:25-53)."""
+        from mr_mt3_tpu.eval.evaluate import compute_transcription_metrics
+        notes = [(0.5 * i, 0.5 * i + 0.3, 60 + i) for i in range(6)]
+        ref = tmp_path / 'ref.mid'
+        est = tmp_path / 'est.mid'
+        self._write(ref, notes)
+        # perturb offsets beyond tolerance but keep onsets matched
+        self._write(est, [(s, e + 0.2, p) for s, e, p in notes])
+        m = compute_transcription_metrics(str(ref), str(est))
+        assert m['on_f1'] == 1.0
+        assert m['onoff_f1'] < 1.0
+        assert m['len_ref_intervals'] == 6
+        assert m['len_est_intervals'] == 6
+
+    def test_loop_transcription_eval_track_matching(self, tmp_path):
+        """Track-separability metric: each ref instrument matched to its
+        best est instrument (reference: evaluate.py:240-271)."""
+        from mr_mt3_tpu.eval.evaluate import loop_transcription_eval
+        from mr_mt3_tpu.midi import read_midi
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+
+        ns = nsq.NoteSequence()
+        for i in range(5):
+            ns.add_note(start_time=0.5 * i, end_time=0.5 * i + 0.3,
+                        pitch=60 + i, velocity=100, program=0,
+                        is_drum=False, instrument=0)
+        for i in range(5):
+            ns.add_note(start_time=0.25 + 0.5 * i, end_time=0.6 + 0.5 * i,
+                        pitch=40 + i, velocity=100, program=33,
+                        is_drum=False, instrument=1)
+        ns.total_time = 3.0
+        ref = tmp_path / 'ref.mid'
+        note_sequence_to_midi_file(ns, ref)
+        f1, n_ref, n_est = loop_transcription_eval(read_midi(ref),
+                                                   read_midi(ref))
+        assert f1 == 1.0  # self-match: every track finds itself
+        assert n_ref == n_est == 2
