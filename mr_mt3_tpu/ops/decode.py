@@ -115,6 +115,8 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   attention kernel (the KV cache dominates traffic at
                   large batch). Both perturb logits slightly.
     """
+    if quantize not in ('none', 'int8', 'int8_kv'):
+        raise ValueError(f'unknown quantize mode: {quantize!r}')
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(
@@ -180,6 +182,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     """
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
+    if quantize not in ('none', 'int8', 'int8_kv'):
+        raise ValueError(f'unknown quantize mode: {quantize!r}')
     use_fast = cfg.segmem_variant != 'decoder_prepend'
     if not use_fast and quantize != 'none':
         raise ValueError(

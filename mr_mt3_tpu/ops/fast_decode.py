@@ -343,6 +343,9 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     """
     batch = encoder_out.shape[0]
     int8_kv = quantize == 'int8_kv'
+    if int8_kv and kv_layout != 'bhdk':
+        raise ValueError("quantize='int8_kv' requires kv_layout='bhdk' "
+                         '(per-position scales quantize over the Dk axis)')
     cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
                                            kv_layout=kv_layout)
     if int8_kv:

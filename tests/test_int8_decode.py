@@ -175,3 +175,46 @@ class TestInt8DecodeAccuracy:
         flips = int((tokens != golden).sum())
         assert flips == 0, \
             f'{flips}/{golden.size} tokens flipped under int8_kv'
+
+class TestQuantizeValidation:
+    def test_unknown_mode_rejected(self):
+        from mr_mt3_tpu.ops.decode import greedy_decode, segmem_greedy_decode
+        cfg = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48,
+                        num_heads=4, num_encoder_layers=1,
+                        num_decoder_layers=1, mel_bins=512,
+                        dropout_rate=0.0)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.zeros((1, 256, 512))
+        with pytest.raises(ValueError, match='unknown quantize'):
+            greedy_decode(model, variables, mel, 8, quantize='int8-kv')
+        scfg = cfg.replace(segmem_variant='encoder_append', segmem_length=8)
+        smodel = MT3(scfg)
+        svars = smodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
+                            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                            targets_prev=jnp.zeros((1, 4), jnp.int32))
+        with pytest.raises(ValueError, match='unknown quantize'):
+            segmem_greedy_decode(smodel, svars, mel[None], 8,
+                                 quantize='INT8')
+
+    def test_int8_kv_requires_bhdk_layout(self):
+        from mr_mt3_tpu.ops.fast_decode import (
+            greedy_loop_fast,
+            stack_decode_params,
+        )
+        cfg = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48,
+                        num_heads=4, num_encoder_layers=1,
+                        num_decoder_layers=1, mel_bins=512,
+                        dropout_rate=0.0)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        dp = stack_decode_params(variables['params'], cfg)
+        with pytest.raises(ValueError, match='bhdk'):
+            greedy_loop_fast(cfg, dp, jnp.zeros((1, 256, 32)), 8,
+                             kv_layout='bkhd', quantize='int8_kv')
