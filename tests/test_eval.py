@@ -197,11 +197,12 @@ class TestProgramAwareScores:
 class TestBandedMatchingEquivalence:
     """match_notes builds its candidate set from an onset-sorted band
     (sparse) instead of dense (n_ref x n_est) matrices; the maximum
-    matching cardinality — which is all P/R/F1 uses — must equal the
-    dense brute-force formulation on randomized instances."""
+    maximum matching (the exact pairs; average_overlap_ratio consumes
+    them) must equal the dense brute-force formulation on randomized
+    instances."""
 
     @staticmethod
-    def _brute_count(ref_i, ref_p, est_i, est_p, offset_ratio, strict):
+    def _brute_pairs(ref_i, ref_p, est_i, est_p, offset_ratio, strict):
         from scipy.sparse import csr_matrix
         from scipy.sparse.csgraph import maximum_bipartite_matching
         cmp = np.less if strict else np.less_equal
@@ -216,9 +217,9 @@ class TestBandedMatchingEquivalence:
             hit &= cmp(np.abs(ref_i[:, 1:2] - est_i[None, :, 1]),
                        tol[:, None])
         if not hit.any():
-            return 0
+            return []
         m = maximum_bipartite_matching(csr_matrix(hit), perm_type='column')
-        return int((m >= 0).sum())
+        return [(r, int(e)) for r, e in enumerate(m) if e >= 0]
 
     def test_matches_dense_brute_force(self):
         from mr_mt3_tpu.eval.transcription import match_notes
@@ -231,12 +232,13 @@ class TestBandedMatchingEquivalence:
             est_p = rng.integers(50, 70, ne)
             for oratio in (None, 0.2):
                 for strict in (False, True):
-                    got = len(match_notes(ref_i, ref_p, est_i, est_p,
-                                          offset_ratio=oratio,
-                                          strict=strict))
-                    want = (self._brute_count(ref_i, ref_p, est_i, est_p,
+                    got = match_notes(ref_i, ref_p, est_i, est_p,
+                                      offset_ratio=oratio, strict=strict)
+                    want = (self._brute_pairs(ref_i, ref_p, est_i, est_p,
                                               oratio, strict)
-                            if nr and ne else 0)
+                            if nr and ne else [])
+                    # identical PAIRS, not just cardinality —
+                    # average_overlap_ratio consumes the pairs
                     assert got == want, (seed, oratio, strict)
 
 

@@ -289,6 +289,40 @@ class TestSegmemSeed:
         np.testing.assert_array_equal(mem[0, :3], [tie, 1, 0])
 
 
+class TestLongAudio:
+    """Padding/bucketing edges at real song lengths (10 minutes)."""
+
+    def test_long_contiguous_segmem(self):
+        h = _segmem_handler(max_length=8, batch_size=4,
+                            contiguous_inference=True, segment_bucket=32)
+        audio = np.random.default_rng(41).normal(
+            size=16000 * 600).astype(np.float32) * 0.05
+        segments, seg_times, valid = h._audio_to_segments(audio)
+        assert segments.shape[0] == 293  # ceil(75001 frames / 256)
+        mel = h._compute_mel(segments, valid)
+        tokens = h._decode_all(mel)  # buckets 293 -> 320-segment scan
+        assert tokens.shape == (293, 9)
+
+    def test_long_noncontiguous_chained(self):
+        h = _segmem_handler(max_length=8, batch_size=8)
+        audio = np.random.default_rng(42).normal(
+            size=16000 * 300).astype(np.float32) * 0.05
+        ns = h.transcribe(audio)  # 147 segments -> 19 chains of 8
+        assert ns is not None
+
+    def test_long_vanilla(self):
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        h = InferenceHandler(model=model, variables=variables,
+                             max_length=8, batch_size=16)
+        audio = np.random.default_rng(43).normal(
+            size=16000 * 300).astype(np.float32) * 0.05
+        ns = h.transcribe(audio)
+        assert ns is not None
+
+
 class TestDataParallelDecode:
     def test_sharded_batch_decode(self):
         """Greedy decode with the batch sharded over a data mesh (the
