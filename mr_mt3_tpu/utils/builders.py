@@ -86,17 +86,66 @@ def build_datasets(cfg: ConfigNode):
     return train_ds, val_ds
 
 
-def load_weights(path: str, model: MT3, like_params=None):
+def param_shapes(model: MT3):
+    """Expected parameter tree of `model` as ShapeDtypeStructs (no device
+    work — jax.eval_shape only)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = model.cfg
+    kwargs = ({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
+              if cfg.has_segmem else {})
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, cfg.mel_bins)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                           **kwargs))
+    return shapes['params']
+
+
+def check_param_coverage(params, model: MT3):
+    """Raise if `params` is missing leaves the model needs or a loaded
+    leaf's shape mismatches — the strict-load check the reference gets
+    from torch load_state_dict(strict=True) (reference test.py:105-110)."""
+    import jax
+    expected = jax.tree.leaves_with_path(param_shapes(model))
+    loaded = dict(jax.tree.leaves_with_path(params))
+    missing, mismatched = [], []
+    for path, spec in expected:
+        name = jax.tree_util.keystr(path)
+        leaf = loaded.get(path)
+        if leaf is None:
+            missing.append(name)
+        elif tuple(leaf.shape) != tuple(spec.shape):
+            mismatched.append(f'{name}: checkpoint {tuple(leaf.shape)} '
+                              f'vs model {tuple(spec.shape)}')
+    if missing or mismatched:
+        raise ValueError(
+            'strict weight load failed\n'
+            + (f'  missing: {", ".join(missing)}\n' if missing else '')
+            + (f'  shape mismatch: {"; ".join(mismatched)}'
+               if mismatched else ''))
+
+
+def load_weights(path: str, model: MT3, like_params=None,
+                 strict: bool = False):
     """Load weights from a reference torch file (.pth/.pt/.ckpt) or an
-    orbax checkpoint directory. Returns (params, step)."""
+    orbax checkpoint directory. Returns (params, step).
+
+    strict=True verifies the checkpoint covers every model parameter with
+    matching shapes (reference semantics: torch strict load_state_dict)."""
     if path.endswith(('.pth', '.pt', '.ckpt')) and os.path.isfile(path):
         from mr_mt3_tpu.utils.checkpoint_import import load_torch_checkpoint
-        return load_torch_checkpoint(path, model.cfg), 0
+        params = load_torch_checkpoint(path, model.cfg)
+        if strict:
+            check_param_coverage(params, model)
+        return params, 0
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         # targetless restore tolerates checkpoints with or without
         # optimizer state
         restored = ckptr.restore(os.path.abspath(path))
+        if strict:
+            check_param_coverage(restored['params'], model)
         return restored['params'], int(restored['step'])
     raise FileNotFoundError(path)

@@ -153,10 +153,18 @@ def load_config(config_dir: str,
 
     # group swaps from overrides
     remaining = []
+    deletions = []
     for ov in overrides:
         if '=' not in ov:
+            # hydra '~key' deletes a config entry
+            if ov.startswith('~'):
+                deletions.append(ov[1:])
+                continue
             raise ValueError(f'override must be key=value: {ov}')
         key, value = ov.split('=', 1)
+        # hydra prefixes: '+key' adds a new entry, '++key' force-adds;
+        # composition here treats all three identically
+        key = key.lstrip('+')
         if key in choices and '.' not in key:
             choices[key] = _parse_value(value)
         else:
@@ -170,6 +178,15 @@ def load_config(config_dir: str,
 
     for key, value in remaining:
         _set_path(root, key, _parse_value(value))
+
+    for dotted in deletions:
+        parts = dotted.split('.')
+        try:
+            node = _get_path(root, '.'.join(parts[:-1])) if parts[:-1] \
+                else root
+            node.pop(parts[-1], None)
+        except KeyError:
+            pass
 
     resolved = _resolve_interpolations(root, root, choices)
     # late overrides that referenced interpolated values resolve against the
@@ -200,7 +217,7 @@ def parse_cli(argv: List[str]):
             else:
                 i += 1
                 config_dir = argv[i]
-        elif '=' in arg:
+        elif '=' in arg or arg.startswith('~'):
             overrides.append(arg)
         else:
             raise ValueError(f'unrecognized argument: {arg}')

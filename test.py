@@ -34,7 +34,11 @@ def main(argv=None):
     assert cfg.eval.get('audio_dir'), 'eval.audio_dir is required'
 
     model = builders.build_model(cfg)
-    params, step = builders.load_weights(str(cfg.path), model)
+    # reference default is a strict torch load; +eval.load_weights_strict=
+    # False opts out (reference test.py:105-110)
+    strict = cfg.eval.get('load_weights_strict')
+    params, step = builders.load_weights(
+        str(cfg.path), model, strict=True if strict is None else bool(strict))
     print(f'loaded weights from {cfg.path} (step {step})')
 
     files = sorted(glob.glob(cfg.eval.audio_dir))

@@ -44,12 +44,25 @@ class TestConfigSystem:
         assert cfg.optim.lr == 1e-3
         assert cfg.model.config.num_layers == 2
 
+    def test_hydra_add_and_delete_prefixes(self):
+        # the reference's own test.sh uses '+eval.load_weights_strict=False'
+        # (hydra add-new-key); '~key' deletes, '++' force-adds
+        cfg = load_config(CONFIG_DIR, 'config_slakh_segmem',
+                          overrides=['+eval.load_weights_strict=False',
+                                     '++eval.forced=7',
+                                     '~eval.is_sanity_check'])
+        assert cfg.eval.load_weights_strict is False
+        assert cfg.eval.forced == 7
+        assert 'is_sanity_check' not in cfg.eval
+        assert '+eval' not in cfg
+
     def test_parse_cli(self):
         name, cdir, ovs = parse_cli(
-            ['--config-name=config_slakh_segmem', 'model=X', 'a.b=3'])
+            ['--config-name=config_slakh_segmem', 'model=X', 'a.b=3',
+             '~c.d'])
         assert name == 'config_slakh_segmem'
         assert cdir is None
-        assert ovs == ['model=X', 'a.b=3']
+        assert ovs == ['model=X', 'a.b=3', '~c.d']
 
     def test_all_reference_model_configs_load(self):
         for model in ['MT3Net', 'MT3NetWeightedLoss', 'MT3NetSegMem',

@@ -223,6 +223,16 @@ class TestT5XConverterEndToEnd:
                    str(pth))
         params_torch, _ = builders.load_weights(str(pth), model)
 
+        # strict load passes on a complete checkpoint and catches holes
+        builders.load_weights(str(pth), model, strict=True)
+        blob = torch.load(str(pth), weights_only=False)
+        blob.pop('lm_head.weight')
+        pth_holed = tmp_path / 'holed.pth'
+        torch.save(blob, str(pth_holed))
+        builders.load_weights(str(pth_holed), model)  # lenient: fine
+        with pytest.raises(ValueError, match='lm_head'):
+            builders.load_weights(str(pth_holed), model, strict=True)
+
         # leg 2: T5X-layout pickle -> convert_weight.main -> Orbax
         flat = {}
         for i in range(2):
