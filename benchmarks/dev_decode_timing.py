@@ -7,7 +7,7 @@ return early on this platform):
   3. segmem lockstep decode throughput vs vanilla at equal segments
 
 Usage: python benchmarks/dev_decode_timing.py [case ...]
-Cases: batch phases segmem all
+Cases: batch phases segmem fused all
 """
 
 import os
@@ -36,7 +36,7 @@ def main():
 
     cases = set(sys.argv[1:]) or {'batch', 'phases'}
     if 'all' in cases:
-        cases = {'batch', 'phases', 'segmem'}
+        cases = {'batch', 'phases', 'segmem', 'fused'}
 
     max_length = 1024
     rng = np.random.default_rng(0)
@@ -84,6 +84,20 @@ def main():
             t = time_fn(fn, variables, mel)
             print(f'phases={phases}: total {t:.3f}s '
                   f'{t / max_length * 1e3:.3f} ms/step', flush=True)
+
+    if 'fused' in cases:
+        print('== whole-decoder megakernel vs bf16 XLA body '
+              '(full 1024 steps, encoder included) ==', flush=True)
+        from mr_mt3_tpu.ops.decode import greedy_decode
+        for b in (1, 8):
+            mel = jnp.asarray(rng.normal(size=(b, 256, 512)), jnp.float32)
+            for quant in ('none', 'fused'):
+                fn = jax.jit(lambda v, m, q=quant: greedy_decode(
+                    model, v, m, max_length, quantize=q))
+                t = time_fn(fn, variables, mel)
+                print(f'B={b} quantize={quant}: total {t:.3f}s  '
+                      f'{t / max_length * 1e3:.3f} ms/step  '
+                      f'RTF {b * 2.048 / t:.1f}', flush=True)
 
     if 'segmem' in cases:
         print('== segmem lockstep (with-prev contiguous) ==', flush=True)

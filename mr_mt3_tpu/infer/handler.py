@@ -96,8 +96,10 @@ class InferenceHandler:
         self.segment_bucket = segment_bucket
         # 'int8': fused Pallas dequant kernels for FF + lm_head weight
         # reads — opt-in MEMORY mode (halves those reads' HBM footprint;
-        # measured slower at batch 8, neutral at 64 — PERF.md), perturbs
-        # logits slightly
+        # measured slower at batch 8, neutral at 64 — PERF.md);
+        # 'fused': the whole-decoder Pallas megakernel, int8 weights + KV
+        # in one launch per step (small-batch latency mode,
+        # ops/fused_decode.py). Both perturb logits slightly.
         self.quantize = quantize
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)

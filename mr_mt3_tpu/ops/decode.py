@@ -113,15 +113,19 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   neutral at 64 — PERF.md);
       'int8_kv' — the self/cross KV caches in int8 with a Pallas dequant
                   attention kernel (the KV cache dominates traffic at
-                  large batch). Both perturb logits slightly.
+                  large batch);
+      'fused'   — the whole-decoder Pallas megakernel with int8 weights
+                  AND int8 KV in a single launch per step (small-batch
+                  latency mode — ops/fused_decode.py). All perturb logits
+                  slightly.
     """
-    if quantize not in ('none', 'int8', 'int8_kv'):
+    if quantize not in ('none', 'int8', 'int8_kv', 'fused'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(
             variables['params'], model.cfg,
-            quantize='int8' if quantize == 'int8' else 'none')
+            quantize=quantize if quantize in ('int8', 'fused') else 'none')
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
                                 quantize=quantize)
     if quantize != 'none':
@@ -182,7 +186,7 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     """
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
-    if quantize not in ('none', 'int8', 'int8_kv'):
+    if quantize not in ('none', 'int8', 'int8_kv', 'fused'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     use_fast = cfg.segmem_variant != 'decoder_prepend'
     if not use_fast and quantize != 'none':
@@ -190,7 +194,7 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
             'quantize is not supported for decoder_prepend models')
     dp = (stack_decode_params(
         variables['params'], cfg,
-        quantize='int8' if quantize == 'int8' else 'none')
+        quantize=quantize if quantize in ('int8', 'fused') else 'none')
         if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)

@@ -38,6 +38,7 @@ class DecodeParams(NamedTuple):
     pos_table: jnp.ndarray           # (max_positions, D)
     lm_head_q: Any = None            # (D, vocab) int8
     lm_head_scale: Any = None        # (1, vocab) f32
+    fused: Any = None                # FusedParams (quantize='fused')
 
 
 def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
@@ -54,6 +55,10 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
         lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *blocks)
     lm_head = jnp.asarray(params['lm_head']['kernel'], dtype)
     lm_head_q = lm_head_scale = None
+    fused = None
+    if quantize == 'fused':
+        from mr_mt3_tpu.ops.fused_decode import pack_fused_params
+        fused = pack_fused_params(params, cfg)
     if quantize == 'int8':
         from mr_mt3_tpu.ops.int8_matmul import quantize_columns
         layers.pop('ff')
@@ -73,12 +78,13 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
         token_embed=jnp.asarray(params['token_embed']['embedding'], dtype),
         final_norm=jnp.asarray(params['decoder']['final_norm']['weight'],
                                jnp.float32),
-        lm_head=lm_head if quantize == 'none' else jnp.zeros((0,), dtype),
+        lm_head=lm_head if quantize != 'int8' else jnp.zeros((0,), dtype),
         pos_table=jnp.asarray(
             sinusoidal_position_table(cfg.d_model, cfg.max_positions),
             dtype),
         lm_head_q=lm_head_q,
-        lm_head_scale=lm_head_scale)
+        lm_head_scale=lm_head_scale,
+        fused=fused)
 
 
 def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -343,16 +349,43 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     """
     batch = encoder_out.shape[0]
     int8_kv = quantize == 'int8_kv'
+    fused = quantize == 'fused'
     if int8_kv and kv_layout != 'bhdk':
         raise ValueError("quantize='int8_kv' requires kv_layout='bhdk' "
                          '(per-position scales quantize over the Dk axis)')
-    cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
-                                           kv_layout=kv_layout)
-    if int8_kv:
-        cross_kv = quantize_cross_kv(cross_kv)
+    if fused:
+        from mr_mt3_tpu.ops.fused_decode import (
+            CHUNK,
+            fused_decode_step,
+            init_fused_cache,
+            precompute_cross_kv_fused,
+        )
+        if max_length > CHUNK and max_length % CHUNK:
+            raise ValueError(f"quantize='fused' needs max_length <= {CHUNK} "
+                             f'or a multiple of it, got {max_length}')
+        # cache phases must be whole kernel chunks
+        phases = range(CHUNK, max_length, CHUNK)
+        # the kernel's per-head sublane slicing needs 8-row-aligned batch
+        # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
+        # and slice the result
+        pad_rows = -encoder_out.shape[0] % 8
+        if pad_rows:
+            encoder_out = jnp.pad(encoder_out,
+                                  ((0, pad_rows), (0, 0), (0, 0)))
+            out = greedy_loop_fast(cfg, dp, encoder_out, max_length,
+                                   phases=phases, kv_layout=kv_layout,
+                                   quantize=quantize)
+            return out[:batch]
+        cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out)
+    else:
+        cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
+                                               kv_layout=kv_layout)
+        if int8_kv:
+            cross_kv = quantize_cross_kv(cross_kv)
     bounds = [p for p in sorted(phases) if p < max_length] + [max_length]
 
-    cache = (init_int8_cache_stacked(cfg, batch, bounds[0]) if int8_kv
+    cache = (init_fused_cache(cfg, batch, bounds[0]) if fused
+             else init_int8_cache_stacked(cfg, batch, bounds[0]) if int8_kv
              else init_cache_stacked(cfg, batch, bounds[0],
                                      kv_layout=kv_layout))
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
@@ -363,9 +396,13 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     def body(state):
         i, tokens, cache, finished = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        logits, cache = decode_step_fast(cfg, dp, cur, i, cache, cross_kv,
-                                         kv_layout=kv_layout,
-                                         quantize=quantize)
+        if fused:
+            logits, cache = fused_decode_step(cfg, dp.fused, dp, cur, i,
+                                              cache, cross_kv)
+        else:
+            logits, cache = decode_step_fast(cfg, dp, cur, i, cache,
+                                             cross_kv, kv_layout=kv_layout,
+                                             quantize=quantize)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = finished | (nxt == cfg.eos_token_id)
@@ -379,9 +416,15 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
         if bound > cache_len:
             delta = bound - cache_len
             i, tokens, cache, finished = state
-            pad = [(0, 0)] * 5
-            pad[seq_axis] = (0, delta)
-            cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
+            if fused:
+                # grow the trailing position axis of every cache leaf
+                cache = jax.tree.map(
+                    lambda a: jnp.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]), cache)
+            else:
+                pad = [(0, 0)] * 5
+                pad[seq_axis] = (0, delta)
+                cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
             state = (i, tokens, cache, finished)
             cache_len = bound
 

@@ -1,0 +1,490 @@
+"""Whole-decoder Pallas megakernel for the greedy decode step.
+
+PERF.md's roofline analysis left exactly one decode lever on the table:
+the bf16 XLA while-loop body at small batch spends ~60% of its time on
+small-op overhead and imperfect overlap (327 us/step measured at B=8 vs
+~132 us of mandatory HBM traffic), and every multi-launch int8 design
+lost to per-launch overhead (2 kernels/layer x 8 layers x B grid blocks
+= thousands of ~3 us pipeline iterations). The fix has to amortize ALL
+weight + KV reads into one launch: this kernel runs the entire
+8-layer decoder step — self-attention over the int8 KV cache (flash
+accumulation over 256-position chunks), cross-attention over the int8
+encoder KV, and the gated-GELU FF with int8 weights — in a single
+pallas_call with grid (layers, cache_chunks). That is ~16-32 pipeline
+iterations per step instead of thousands, and int8 storage halves the
+bytes so a double-buffered stage (one layer's weights + cross-KV + one
+cache chunk ~= 6 MB) fits in the 16 MB of VMEM, which bf16 cannot
+(~15 MB/stage before the cache).
+
+The kernel is HEAD-FUSED: all H=6 heads attend in single dots with the
+(head, batch) axes merged into one 48-row batch dim. That matters as
+much as the fusion itself — a per-head Python loop measured 0.346
+ms/step at B=8 (SLOWER than the 0.323 XLA body) because it issues
+~3,000 tiny serial vector ops per step. Mosaic constraints found by
+probing the real TPU shape this layout (all verified on v5e):
+
+  * minor-dim reshapes ((B, H*dk) <-> (B, H, dk)) do NOT compile, but
+    64-lane static slices/writes and lane-axis concatenate DO — so the
+    (B, 3*inner) qkv dot output is scattered into (H*B, dk) scratch by
+    per-head lane-slice + sublane-block writes, and attention outputs
+    reassemble to (B, inner) with a lane concat;
+  * leading-dim merges ((H, B, dk, K) -> (H*B, dk, K)) compile for f32
+    and int8, so caches store (L, H, B, dk, P) and merge in-kernel;
+  * dot_general supports ONE batch dim — (HB, 1, dk) x (HB, dk, K) is
+    the proven int8 attention shape; 3D-rhs free dims, two contracting
+    dims, and two batch dims all fail to compile;
+  * int8 vectors cannot be shape-cast — expand dims on the f32 array
+    BEFORE quantizing.
+
+The hidden state x lives in VMEM scratch across all grid steps; the
+kernel returns the final x plus each layer's new K/V rows, which XLA
+quantizes and scatters into the cache (4 tiny dynamic_update_slices per
+layer — same as the bf16 path).
+
+Numerics match ops/int8_attention.py's end-to-end int8 math: q rows and
+the (v-scale-folded) softmax probabilities are quantized per row so both
+attention contractions run as int8 MXU dots with exact rescaling; the
+current position's K/V attends in f32 (it is on-chip anyway). Weights
+are per-output-column int8 as in ops/int8_matmul.py. Token flip rate vs
+the bf16 path is pinned in tests/test_fused_decode.py.
+
+Opt-in via quantize='fused' (ops/decode.greedy_decode / the
+InferenceHandler). Reference hot loop this accelerates: the per-token
+full-decoder re-run at models/t5.py:267-295.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mr_mt3_tpu.models.config import MT3Config
+from mr_mt3_tpu.models.mt3 import gelu_new
+from mr_mt3_tpu.ops.int8_matmul import quantize_columns
+
+# self-KV cache chunk streamed per grid step; 256 keeps a double-buffered
+# stage (weights + cross-KV + chunk) near 6 MB of VMEM at B=8
+CHUNK = 256
+
+# attention contraction lowering: 'mxu' quantizes q/probs per row and runs
+# (HB)-batched int8 MXU dots (ops/int8_attention.py math); 'vpu' dequantizes
+# K/V in-register and multiply-reduces on the VPU (exact, no q/prob
+# quantization). Both compile; measured within noise of each other on v5e
+# (~0.29 vs ~0.33 ms/step at B=8, shared-tunnel variance ~15%).
+ATTN_IMPL = 'mxu'
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover
+        return False
+
+
+class FusedParams(NamedTuple):
+    """Decoder weights quantized per output column for the megakernel.
+
+    Projections keep their natural (in, out) layout — the kernel slices
+    per-head columns at dk-lane granularity."""
+    wqkv: jnp.ndarray     # (L, D, 3*inner) int8 — q | k | v concat
+    sqkv: jnp.ndarray     # (L, 1, 3*inner) f32
+    wo: jnp.ndarray       # (L, inner, D) int8
+    so: jnp.ndarray       # (L, 1, D) f32
+    wqc: jnp.ndarray      # (L, D, inner) int8 — cross-attention q
+    sqc: jnp.ndarray      # (L, 1, inner) f32
+    woc: jnp.ndarray      # (L, inner, D) int8
+    soc: jnp.ndarray      # (L, 1, D) f32
+    wff_in: jnp.ndarray   # (L, D, 2F) int8 — wi_0 | wi_1 concat
+    sff_in: jnp.ndarray   # (L, 1, 2F) f32
+    wff_out: jnp.ndarray  # (L, F, D) int8
+    sff_out: jnp.ndarray  # (L, 1, D) f32
+    norms: jnp.ndarray    # (L, 3, D) f32 — self, cross, ff RMS weights
+    final_norm: jnp.ndarray  # (1, D) f32
+    lm_q: jnp.ndarray     # (D, vocab) int8
+    lm_s: jnp.ndarray     # (1, vocab) f32
+
+
+def pack_fused_params(params: Dict[str, Any], cfg: MT3Config) -> FusedParams:
+    """Quantize the decoder blocks for the megakernel.
+
+    Quantizes from the original (typically fp32) weights, matching
+    stack_decode_params' int8 mode."""
+    blocks = [params['decoder'][f'block_{i}']
+              for i in range(cfg.num_decoder_layers)]
+
+    def stacked(fn):
+        return tuple(jnp.stack(x) for x in zip(*[fn(b) for b in blocks]))
+
+    def f32(node):
+        return jnp.asarray(node['kernel'], jnp.float32)
+
+    wqkv, sqkv = stacked(lambda b: quantize_columns(jnp.concatenate(
+        [f32(b['self_attn']['q']), f32(b['self_attn']['k']),
+         f32(b['self_attn']['v'])], axis=1)))
+    wo, so = stacked(lambda b: quantize_columns(f32(b['self_attn']['o'])))
+    wqc, sqc = stacked(lambda b: quantize_columns(f32(b['cross_attn']['q'])))
+    woc, soc = stacked(lambda b: quantize_columns(f32(b['cross_attn']['o'])))
+    wff_in, sff_in = stacked(lambda b: quantize_columns(jnp.concatenate(
+        [f32(b['ff']['wi_0']), f32(b['ff']['wi_1'])], axis=1)))
+    wff_out, sff_out = stacked(lambda b: quantize_columns(f32(b['ff']['wo'])))
+    norms = jnp.stack([
+        jnp.stack([jnp.asarray(b['self_norm']['weight'], jnp.float32),
+                   jnp.asarray(b['cross_norm']['weight'], jnp.float32),
+                   jnp.asarray(b['ff_norm']['weight'], jnp.float32)])
+        for b in blocks])
+    final_norm = jnp.asarray(params['decoder']['final_norm']['weight'],
+                             jnp.float32)[None, :]
+    lm_q, lm_s = quantize_columns(
+        jnp.asarray(params['lm_head']['kernel'], jnp.float32))
+    return FusedParams(wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
+                       wff_in, sff_in, wff_out, sff_out, norms,
+                       final_norm, lm_q, lm_s)
+
+
+def init_fused_cache(cfg: MT3Config, batch: int,
+                     max_len: int) -> Dict[str, jnp.ndarray]:
+    """Head-major int8 self-KV cache: kq/vq (L, H, B, dk, P) + per-position
+    f32 scales ks/vs (L, H, B, P)."""
+    l, h, dk = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
+    shape = (l, h, batch, dk, max_len)
+    sshape = (l, h, batch, max_len)
+    return {'kq': jnp.zeros(shape, jnp.int8),
+            'ks': jnp.zeros(sshape, jnp.float32),
+            'vq': jnp.zeros(shape, jnp.int8),
+            'vs': jnp.zeros(sshape, jnp.float32)}
+
+
+def precompute_cross_kv_fused(dp, cfg: MT3Config,
+                              encoder_out: jnp.ndarray
+                              ) -> Dict[str, jnp.ndarray]:
+    """Encoder K/V for all layers, quantized int8 head-major.
+
+    dp: DecodeParams (for the stacked cross_attn k/v kernels)."""
+    from mr_mt3_tpu.ops.fast_decode import precompute_cross_kv_stacked
+    k, v = precompute_cross_kv_stacked(dp, cfg, encoder_out,
+                                       kv_layout='bhdk')  # (L,B,H,dk,Lenc)
+    k = jnp.moveaxis(k, 2, 1).astype(jnp.float32)          # (L,H,B,dk,Lenc)
+    v = jnp.moveaxis(v, 2, 1).astype(jnp.float32)
+    # per-position scales (over dk, axis -2)
+    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), 1e-12) / 127.0
+    vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-2), 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(k / ks[..., None, :]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(v / vs[..., None, :]), -127, 127).astype(jnp.int8)
+    return {'ckq': kq, 'cks': ks, 'cvq': vq, 'cvs': vs}
+
+
+def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return weight * (x * jax.lax.rsqrt(var + eps))
+
+
+def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
+                 lenc: int):
+    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
+    inner, d_ff = cfg.inner_dim, cfg.d_ff
+    eps = cfg.layer_norm_epsilon
+    n_layers = cfg.num_decoder_layers
+    hb = heads * batch
+
+    def scores_vpu(q: jnp.ndarray, kq_hb, ks_hb) -> jnp.ndarray:
+        """q (HB, dk) f32 x int8 K (HB, dk, K) -> (HB, K) f32 scores.
+
+        VPU dequant + broadcast-multiply + reduce over dk; exact — q needs
+        no quantization."""
+        k = kq_hb.astype(jnp.float32)
+        return jnp.sum(q[:, :, None] * k, axis=1) * ks_hb
+
+    def values_vpu(p: jnp.ndarray, vq_hb, vs_hb) -> jnp.ndarray:
+        """probs (HB, K) f32 x int8 V (HB, dk, K) -> (HB, dk) f32.
+
+        Folds the per-position v scales into p (one K-sized multiply
+        instead of dk-sized dequant), then VPU multiply + reduce over K."""
+        pv = p * vs_hb
+        v = vq_hb.astype(jnp.float32)
+        return jnp.sum(pv[:, None, :] * v, axis=-1)
+
+    def scores_mxu(q: jnp.ndarray, kq_hb, ks_hb) -> jnp.ndarray:
+        """(HB)-batched int8 MXU score dot with per-row q quantization.
+
+        expand_dims happens on the f32 array BEFORE the int8 cast —
+        Mosaic cannot shape-cast int8 vectors."""
+        qscale = jnp.maximum(jnp.max(jnp.abs(q), axis=-1, keepdims=True),
+                             1e-12) / 127.0
+        qi8 = jnp.clip(jnp.round((q / qscale)[:, None, :]),
+                       -127, 127).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            qi8, kq_hb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)[:, 0, :]
+        return scores.astype(jnp.float32) * qscale * ks_hb
+
+    def values_mxu(p: jnp.ndarray, vq_hb, vs_hb) -> jnp.ndarray:
+        """(HB)-batched int8 MXU value dot; probabilities are folded with
+        the per-position v scales and re-quantized per row (the one lossy
+        step beyond KV quantization — ops/int8_attention.py math)."""
+        pv = p * vs_hb
+        pscale = jnp.maximum(jnp.max(jnp.abs(pv), axis=-1, keepdims=True),
+                             1e-20) / 127.0
+        pi8 = jnp.clip(jnp.round((pv / pscale)[:, None, :]),
+                       -127, 127).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            pi8, vq_hb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)[:, 0, :]
+        return out.astype(jnp.float32) * pscale
+
+    int8_scores = scores_mxu if ATTN_IMPL == 'mxu' else scores_vpu
+    int8_values = values_mxu if ATTN_IMPL == 'mxu' else values_vpu
+
+    def int8_proj(h_bf16: jnp.ndarray, w_ref, s) -> jnp.ndarray:
+        """(B, K) bf16 @ int8 (K, N) * scales -> (B, N) f32."""
+        acc = jnp.dot(h_bf16, w_ref.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return acc * s
+
+    def scatter_heads(dst_ref, flat: jnp.ndarray, col0: int):
+        """(B, inner) lane-sliced per head into (HB, dk) scratch rows."""
+        for h in range(heads):
+            dst_ref[h * batch:(h + 1) * batch, :] = \
+                flat[:, col0 + h * d_kv:col0 + (h + 1) * d_kv]
+
+    def gather_heads(src: jnp.ndarray) -> jnp.ndarray:
+        """(HB, dk) -> (B, inner) by lane-concatenating the head blocks."""
+        return jnp.concatenate(
+            [src[h * batch:(h + 1) * batch, :] for h in range(heads)],
+            axis=1)
+
+    def merge_hb(ref):
+        """(1, H, B, ...) block -> (HB, ...) leading-dim merge."""
+        block = ref[0]
+        return block.reshape((hb,) + block.shape[2:])
+
+    def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(HB, dk) f32 -> (int8 codes, per-row f32 scale)."""
+        scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                            1e-12) / 127.0
+        return jnp.clip(jnp.round(x / scale),
+                        -127, 127).astype(jnp.int8), scale
+
+    def kernel(pos_ref, x_ref,
+               wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
+               wff_in, sff_in, wff_out, sff_out, norms,
+               fnorm, lm_q, lm_s,
+               ckq, cks, cvq, cvs,
+               kq, ks, vq, vs,
+               logits_out, kq_out, ks_out, vq_out, vs_out,
+               x_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr):
+        i = pl.program_id(0)
+        c = pl.program_id(1)
+        pos = pos_ref[0]
+
+        @pl.when(jnp.logical_and(i == 0, c == 0))
+        def _():
+            x_scr[:] = x_ref[:].astype(jnp.float32)
+
+        @pl.when(c == 0)
+        def _():
+            h1 = _rms(x_scr[:], norms[0, 0:1, :], eps).astype(jnp.bfloat16)
+            qkv = int8_proj(h1, wqkv[0], sqkv[0])       # (B, 3*inner) f32
+            scatter_heads(q_scr, qkv, 0)
+            scatter_heads(k_scr, qkv, inner)
+            scatter_heads(v_scr, qkv, 2 * inner)
+            m_scr[:] = jnp.full((hb, 1), -1e30, jnp.float32)
+            l_scr[:] = jnp.zeros((hb, 1), jnp.float32)
+            acc_scr[:] = jnp.zeros((hb, d_kv), jnp.float32)
+            # emit this layer's K/V rows pre-quantized for the cache
+            kq_row, ks_row = quantize_rows(k_scr[:])
+            vq_row, vs_row = quantize_rows(v_scr[:])
+            kq_out[0] = kq_row
+            ks_out[0] = ks_row
+            vq_out[0] = vq_row
+            vs_out[0] = vs_row
+
+        # ---- self-attention: flash update over cache chunk c, all heads
+        # in single (HB)-batched dots ----
+        base = c * chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1) + base
+        valid = col < pos  # cache rows 0..pos-1 hold past positions
+        scores = int8_scores(q_scr[:], merge_hb(kq), merge_hb(ks))
+        scores = jnp.where(valid, scores, -1e30)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = (acc_scr[:] * alpha
+                      + int8_values(p, merge_hb(vq), merge_hb(vs)))
+        m_scr[:] = m_new
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            x = x_scr[:]
+            # diagonal term (current position, f32 on-chip), then o-proj
+            q, kc, vc = q_scr[:], k_scr[:], v_scr[:]
+            s_cur = jnp.sum(q * kc, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_scr[:], s_cur)
+            alpha = jnp.exp(m_scr[:] - m_new)
+            p_cur = jnp.exp(s_cur - m_new)
+            l_fin = l_scr[:] * alpha + p_cur
+            acc = acc_scr[:] * alpha + p_cur * vc
+            attn = gather_heads(acc / l_fin).astype(jnp.bfloat16)
+            x = x + int8_proj(attn, wo[0], so[0])
+
+            # ---- cross-attention over the int8 encoder KV ----
+            h2 = _rms(x, norms[0, 1:2, :], eps).astype(jnp.bfloat16)
+            qc_flat = int8_proj(h2, wqc[0], sqc[0])      # (B, inner)
+            scatter_heads(q_scr, qc_flat, 0)             # reuse q scratch
+            scores = int8_scores(q_scr[:], merge_hb(ckq), merge_hb(cks))
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn_c = int8_values(probs, merge_hb(cvq), merge_hb(cvs))
+            attn_c = gather_heads(attn_c).astype(jnp.bfloat16)
+            x = x + int8_proj(attn_c, woc[0], soc[0])
+
+            # ---- gated-GELU FF ----
+            h3 = _rms(x, norms[0, 2:3, :], eps).astype(jnp.bfloat16)
+            g = int8_proj(h3, wff_in[0], sff_in[0])      # (B, 2F)
+            gated = (gelu_new(g[:, :d_ff]) * g[:, d_ff:]).astype(jnp.bfloat16)
+            x = x + int8_proj(gated, wff_out[0], sff_out[0])
+
+            x_scr[:] = x
+
+            @pl.when(i == n_layers - 1)
+            def _():
+                xf = _rms(x, fnorm[0:1, :], eps).astype(jnp.bfloat16)
+                logits_out[:] = int8_proj(xf, lm_q[:], lm_s[:])
+
+    return kernel
+
+
+def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
+                      tokens: jnp.ndarray, position: jnp.ndarray,
+                      cache: Dict[str, jnp.ndarray],
+                      cross: Dict[str, jnp.ndarray],
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One greedy step through the megakernel.
+
+    tokens (B,) int32 -> (logits (B, vocab), updated cache). dp supplies
+    the embedding/pos-table/final-norm/lm_head leaves (DecodeParams)."""
+    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
+    inner = cfg.inner_dim
+    n_layers = cfg.num_decoder_layers
+    batch = tokens.shape[0]
+    max_len = cache['kq'].shape[-1]
+    lenc = cross['ckq'].shape[-1]
+    chunk = min(CHUNK, max_len)
+    if max_len % chunk:
+        raise ValueError(f'fused cache length {max_len} must be a multiple '
+                         f'of {chunk}')
+    n_chunks = max_len // chunk
+
+    x = dp.token_embed[tokens].astype(jnp.float32)
+    x = x + jax.lax.dynamic_slice_in_dim(
+        dp.pos_table, position, 1, 0).astype(jnp.float32)
+
+    # index maps receive the scalar-prefetch ref as a trailing arg
+    def layer_spec(block, mem=pltpu.VMEM):
+        return pl.BlockSpec(
+            block, lambda i, c, *_: (i,) + (0,) * (len(block) - 1),
+            memory_space=mem)
+
+    def chunk_spec(block):
+        nd = len(block)
+        return pl.BlockSpec(
+            block, lambda i, c, *_: (i,) + (0,) * (nd - 2) + (c,),
+            memory_space=pltpu.VMEM)
+
+    const_spec = pl.BlockSpec(
+        x.shape, lambda i, c, *_: (0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_layers, n_chunks),
+        in_specs=[
+            const_spec,                                       # x
+            layer_spec((1, d_model, 3 * inner)),              # wqkv
+            layer_spec((1, 1, 3 * inner)),                    # sqkv
+            layer_spec((1, inner, d_model)),                  # wo
+            layer_spec((1, 1, d_model)),                      # so
+            layer_spec((1, d_model, inner)),                  # wqc
+            layer_spec((1, 1, inner)),                        # sqc
+            layer_spec((1, inner, d_model)),                  # woc
+            layer_spec((1, 1, d_model)),                      # soc
+            layer_spec((1, d_model, 2 * cfg.d_ff)),           # wff_in
+            layer_spec((1, 1, 2 * cfg.d_ff)),                 # sff_in
+            layer_spec((1, cfg.d_ff, d_model)),               # wff_out
+            layer_spec((1, 1, d_model)),                      # sff_out
+            layer_spec((1, 3, d_model)),                      # norms
+            pl.BlockSpec((1, d_model), lambda i, c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # final_norm
+            pl.BlockSpec((d_model, cfg.vocab_size),
+                         lambda i, c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # lm_q
+            pl.BlockSpec((1, cfg.vocab_size), lambda i, c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # lm_s
+            layer_spec((1, heads, batch, d_kv, lenc)),        # ckq
+            layer_spec((1, heads, batch, lenc)),              # cks
+            layer_spec((1, heads, batch, d_kv, lenc)),        # cvq
+            layer_spec((1, heads, batch, lenc)),              # cvs
+            chunk_spec((1, heads, batch, d_kv, chunk)),       # kq
+            chunk_spec((1, heads, batch, chunk)),             # ks
+            chunk_spec((1, heads, batch, d_kv, chunk)),       # vq
+            chunk_spec((1, heads, batch, chunk)),             # vs
+        ],
+        out_specs=[
+            pl.BlockSpec((batch, cfg.vocab_size), lambda i, c, *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # logits
+            layer_spec((1, heads * batch, d_kv)),             # kq_row
+            layer_spec((1, heads * batch, 1)),                # ks_row
+            layer_spec((1, heads * batch, d_kv)),             # vq_row
+            layer_spec((1, heads * batch, 1)),                # vs_row
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, d_model), jnp.float32),          # x_scr
+            pltpu.VMEM((heads * batch, d_kv), jnp.float32),     # q_scr
+            pltpu.VMEM((heads * batch, d_kv), jnp.float32),     # k_scr
+            pltpu.VMEM((heads * batch, d_kv), jnp.float32),     # v_scr
+            pltpu.VMEM((heads * batch, 1), jnp.float32),        # m_scr
+            pltpu.VMEM((heads * batch, 1), jnp.float32),        # l_scr
+            pltpu.VMEM((heads * batch, d_kv), jnp.float32),     # acc_scr
+        ],
+    )
+    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc)
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    logits, kq_row, ks_row, vq_row, vs_row = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, cfg.vocab_size), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, 1), jnp.float32),
+        ],
+        interpret=interpret or not _on_tpu(),
+    )(pos, x,
+      fp.wqkv, fp.sqkv, fp.wo, fp.so, fp.wqc, fp.sqc, fp.woc, fp.soc,
+      fp.wff_in, fp.sff_in, fp.wff_out, fp.sff_out, fp.norms,
+      fp.final_norm, fp.lm_q, fp.lm_s,
+      cross['ckq'], cross['cks'], cross['cvq'], cross['cvs'],
+      cache['kq'], cache['ks'], cache['vq'], cache['vs'])
+
+    # scatter the pre-quantized K/V rows into the cache (tiny XLA writes)
+    lhbd = (n_layers, heads, batch, d_kv, 1)
+    cache = dict(
+        kq=jax.lax.dynamic_update_slice(
+            cache['kq'], kq_row.reshape(lhbd), (0, 0, 0, 0, position)),
+        ks=jax.lax.dynamic_update_slice(
+            cache['ks'], ks_row.reshape(n_layers, heads, batch, 1),
+            (0, 0, 0, position)),
+        vq=jax.lax.dynamic_update_slice(
+            cache['vq'], vq_row.reshape(lhbd), (0, 0, 0, 0, position)),
+        vs=jax.lax.dynamic_update_slice(
+            cache['vs'], vs_row.reshape(n_layers, heads, batch, 1),
+            (0, 0, 0, position)))
+    return logits, cache

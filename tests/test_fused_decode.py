@@ -1,0 +1,144 @@
+"""Whole-decoder megakernel (quantize='fused'): numerics and accuracy.
+
+On CPU the kernel runs in interpreter mode — same math as the TPU, so
+these tests pin the fused int8 quantization error and the flash-chunking
+algebra independent of hardware.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mr_mt3_tpu.models import MT3, MT3Config
+from mr_mt3_tpu.ops.decode import greedy_decode
+from mr_mt3_tpu.ops.fast_decode import (
+    decode_step_fast,
+    init_cache_stacked,
+    precompute_cross_kv_stacked,
+    stack_decode_params,
+)
+from mr_mt3_tpu.ops.fused_decode import (
+    fused_decode_step,
+    init_fused_cache,
+    pack_fused_params,
+    precompute_cross_kv_fused,
+)
+
+SMALL_CFG = MT3Config(vocab_size=256, d_model=32, d_kv=8, d_ff=48,
+                      num_heads=4, num_encoder_layers=1,
+                      num_decoder_layers=2, mel_bins=16, dropout_rate=0.0)
+
+
+def _small_setup(batch=2, max_len=16, seed=0):
+    model = MT3(SMALL_CFG)
+    rng = np.random.default_rng(seed)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+    dp = stack_decode_params(variables['params'], SMALL_CFG,
+                             dtype=jnp.float32)
+    fp = pack_fused_params(variables['params'], SMALL_CFG)
+    enc = jnp.asarray(rng.normal(size=(batch, 8, 32)), jnp.float32)
+    cross = precompute_cross_kv_fused(dp, SMALL_CFG, enc)
+    cache = init_fused_cache(SMALL_CFG, batch, max_len)
+    return model, variables, dp, fp, enc, cross, cache
+
+
+class TestFusedStep:
+    def test_matches_f32_path_within_quantization_error(self):
+        """Two steps of the megakernel vs the fp32 XLA body: the only
+        differences are int8 weight/KV quantization, so agreement is at
+        the percent level on random N(0,1) weights."""
+        model, variables, dp, fp, enc, cross, cache = _small_setup()
+        ck = precompute_cross_kv_stacked(dp, SMALL_CFG, enc)
+        c_ref = init_cache_stacked(SMALL_CFG, 2, 16, dtype=jnp.float32)
+        toks = [jnp.array([3, 5], jnp.int32), jnp.array([7, 9], jnp.int32)]
+        for step, t in enumerate(toks):
+            got, cache = fused_decode_step(SMALL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache, cross,
+                                           interpret=True)
+            want, c_ref = decode_step_fast(SMALL_CFG, dp, t,
+                                           jnp.int32(step), c_ref, ck)
+            rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+            assert rel < 0.05, f'step {step}: rel err {rel}'
+
+    def test_flash_chunking_is_exact(self):
+        """The same step with the cache split into 2 chunks vs 1 chunk:
+        online-softmax accumulation must be algebraically identical (the
+        extra chunk is fully masked)."""
+        model, variables, dp, fp, enc, cross, _ = _small_setup()
+        # build two caches with identical contents at positions 0..2
+        cache1 = init_fused_cache(SMALL_CFG, 2, 16)     # 1 chunk
+        cache2 = init_fused_cache(SMALL_CFG, 2, 512)    # 2 chunks of 256
+        rng = np.random.default_rng(3)
+        for step in range(3):
+            t = jnp.asarray(rng.integers(1, 200, size=(2,)), jnp.int32)
+            l1, cache1 = fused_decode_step(SMALL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache1, cross,
+                                           interpret=True)
+            l2, cache2 = fused_decode_step(SMALL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache2, cross,
+                                           interpret=True)
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_cache_length_validation(self):
+        model, variables, dp, fp, enc, cross, _ = _small_setup()
+        bad = init_fused_cache(SMALL_CFG, 2, 300)  # not a chunk multiple
+        with pytest.raises(ValueError, match='multiple'):
+            fused_decode_step(SMALL_CFG, fp, dp, jnp.zeros((2,), jnp.int32),
+                              jnp.int32(0), bad, cross, interpret=True)
+
+    def test_greedy_decode_fused_runs(self):
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 8, 16)), jnp.float32)
+        toks = np.asarray(greedy_decode(model, variables, mel,
+                                        max_length=12, quantize='fused'))
+        assert toks.shape == (2, 13)
+        assert (toks[:, 0] == 0).all()
+
+    def test_bad_max_length_rejected(self):
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.zeros((1, 8, 16))
+        with pytest.raises(ValueError, match='multiple'):
+            greedy_decode(model, variables, mel, max_length=300,
+                          quantize='fused')
+
+
+class TestFusedAccuracy:
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_vanilla.npz')),
+        reason='parity goldens missing')
+    def test_fused_token_flip_rate_on_parity_model(self):
+        """The megakernel on the overfit parity model: int8 weights + int8
+        KV together must still clear the ~2.0 decode margin — zero flips
+        (mirrors the 'int8' and 'int8_kv' gates in test_int8_decode.py)."""
+        from tests.parity_common import (
+            VANILLA_CFG,
+            load_golden,
+            parity_corpus,
+        )
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_vanilla.npz')
+        model = MT3(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   batch_size=4, quantize='fused')
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        golden = np.asarray(meta['tokens'][0])
+        flips = int((tokens != golden).sum())
+        assert flips == 0, f'{flips}/{golden.size} tokens flipped under fused'
