@@ -354,38 +354,14 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
         raise ValueError("quantize='int8_kv' requires kv_layout='bhdk' "
                          '(per-position scales quantize over the Dk axis)')
     if fused:
-        from mr_mt3_tpu.ops.fused_decode import (
-            CHUNK,
-            fused_decode_step,
-            init_fused_cache,
-            precompute_cross_kv_fused,
-        )
-        if max_length > CHUNK and max_length % CHUNK:
-            raise ValueError(f"quantize='fused' needs max_length <= {CHUNK} "
-                             f'or a multiple of it, got {max_length}')
-        # cache phases must be whole kernel chunks
-        phases = range(CHUNK, max_length, CHUNK)
-        # the kernel's per-head sublane slicing needs 8-row-aligned batch
-        # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
-        # and slice the result
-        pad_rows = -encoder_out.shape[0] % 8
-        if pad_rows:
-            encoder_out = jnp.pad(encoder_out,
-                                  ((0, pad_rows), (0, 0), (0, 0)))
-            out = greedy_loop_fast(cfg, dp, encoder_out, max_length,
-                                   phases=phases, kv_layout=kv_layout,
-                                   quantize=quantize)
-            return out[:batch]
-        cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out)
-    else:
-        cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
-                                               kv_layout=kv_layout)
-        if int8_kv:
-            cross_kv = quantize_cross_kv(cross_kv)
+        return greedy_loop_fused(cfg, dp, encoder_out, max_length)
+    cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
+                                           kv_layout=kv_layout)
+    if int8_kv:
+        cross_kv = quantize_cross_kv(cross_kv)
     bounds = [p for p in sorted(phases) if p < max_length] + [max_length]
 
-    cache = (init_fused_cache(cfg, batch, bounds[0]) if fused
-             else init_int8_cache_stacked(cfg, batch, bounds[0]) if int8_kv
+    cache = (init_int8_cache_stacked(cfg, batch, bounds[0]) if int8_kv
              else init_cache_stacked(cfg, batch, bounds[0],
                                      kv_layout=kv_layout))
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
@@ -396,13 +372,9 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     def body(state):
         i, tokens, cache, finished = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
-        if fused:
-            logits, cache = fused_decode_step(cfg, dp.fused, dp, cur, i,
-                                              cache, cross_kv)
-        else:
-            logits, cache = decode_step_fast(cfg, dp, cur, i, cache,
-                                             cross_kv, kv_layout=kv_layout,
-                                             quantize=quantize)
+        logits, cache = decode_step_fast(cfg, dp, cur, i, cache,
+                                         cross_kv, kv_layout=kv_layout,
+                                         quantize=quantize)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = finished | (nxt == cfg.eos_token_id)
@@ -416,15 +388,9 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
         if bound > cache_len:
             delta = bound - cache_len
             i, tokens, cache, finished = state
-            if fused:
-                # grow the trailing position axis of every cache leaf
-                cache = jax.tree.map(
-                    lambda a: jnp.pad(
-                        a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]), cache)
-            else:
-                pad = [(0, 0)] * 5
-                pad[seq_axis] = (0, delta)
-                cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
+            pad = [(0, 0)] * 5
+            pad[seq_axis] = (0, delta)
+            cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
             state = (i, tokens, cache, finished)
             cache_len = bound
 
@@ -434,3 +400,75 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
 
         state = jax.lax.while_loop(cond, body, state)
     return state[1]
+
+
+def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
+                      encoder_out: jnp.ndarray,
+                      max_length: int) -> jnp.ndarray:
+    """Greedy decode through the whole-decoder megakernel.
+
+    The while-loop body is ONE pallas invocation decoding FUSED_WINDOW
+    tokens (embed -> 8 layers -> lm_head -> argmax all in-kernel), which
+    amortizes the ~100 us per-invocation cost this platform charges a
+    pallas_call inside a compiled loop (ops/fused_decode.py). Returns
+    tokens (B, max_length + 1) like greedy_loop_fast."""
+    from mr_mt3_tpu.ops.fused_decode import (
+        CHUNK,
+        FUSED_WINDOW,
+        fused_decode_window,
+        init_fused_cache,
+        precompute_cross_kv_fused,
+    )
+    batch = encoder_out.shape[0]
+    if max_length > CHUNK and max_length % CHUNK:
+        raise ValueError(f"quantize='fused' needs max_length <= {CHUNK} "
+                         f'or a multiple of it, got {max_length}')
+    # the kernel's per-head sublane slicing needs 8-row-aligned batch
+    # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
+    # and slice the result
+    pad_rows = -batch % 8
+    if pad_rows:
+        out = greedy_loop_fused(
+            cfg, dp, jnp.pad(encoder_out, ((0, pad_rows), (0, 0), (0, 0))),
+            max_length)
+        return out[:batch]
+
+    t_win = FUSED_WINDOW
+    # window-align the decode budget; the tail past max_length is wasted
+    # compute only (tokens are sliced off)
+    ml_eff = -(-max_length // t_win) * t_win
+    bounds = [p for p in range(CHUNK, ml_eff, CHUNK)] + [ml_eff]
+
+    cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out)
+    cache = init_fused_cache(cfg, batch, bounds[0])
+    tokens = jnp.full((batch, ml_eff + 1), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((batch,), bool)
+
+    def body(state):
+        i, tokens, cache, finished = state
+        cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
+        toks_w, finished, cache = fused_decode_window(
+            cfg, dp.fused, dp, cur, finished, i, cache, cross_kv,
+            t_window=t_win)
+        tokens = jax.lax.dynamic_update_slice(tokens, toks_w, (0, i + 1))
+        return i + t_win, tokens, cache, finished
+
+    state = (jnp.int32(0), tokens, cache, finished)
+    cache_len = bounds[0]
+    for bound in bounds:
+        if bound > cache_len:
+            delta = bound - cache_len
+            i, tokens, cache, finished = state
+            cache = jax.tree.map(
+                lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]),
+                cache)
+            state = (i, tokens, cache, finished)
+            cache_len = bound
+
+        def cond(state, bound=bound):
+            i, _, _, finished = state
+            return (i < bound) & jnp.logical_not(jnp.all(finished))
+
+        state = jax.lax.while_loop(cond, body, state)
+    return state[1][:, :max_length + 1]

@@ -182,12 +182,9 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return weight * (x * jax.lax.rsqrt(var + eps))
 
 
-def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
-                 lenc: int):
-    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
-    inner, d_ff = cfg.inner_dim, cfg.d_ff
-    eps = cfg.layer_norm_epsilon
-    n_layers = cfg.num_decoder_layers
+def _math_helpers(cfg: MT3Config, batch: int):
+    """Shared in-kernel math for the step and window kernels."""
+    heads, d_kv = cfg.num_heads, cfg.d_kv
     hb = heads * batch
 
     def scores_vpu(q: jnp.ndarray, kq_hb, ks_hb) -> jnp.ndarray:
@@ -269,6 +266,20 @@ def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
                             1e-12) / 127.0
         return jnp.clip(jnp.round(x / scale),
                         -127, 127).astype(jnp.int8), scale
+
+    return (int8_scores, int8_values, int8_proj, scatter_heads,
+            gather_heads, merge_hb, quantize_rows)
+
+
+def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
+                 lenc: int):
+    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
+    inner, d_ff = cfg.inner_dim, cfg.d_ff
+    eps = cfg.layer_norm_epsilon
+    n_layers = cfg.num_decoder_layers
+    hb = heads * batch
+    (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
+     merge_hb, quantize_rows) = _math_helpers(cfg, batch)
 
     def kernel(pos_ref, x_ref,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -488,3 +499,313 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
             cache['vs'], vs_row.reshape(n_layers, heads, batch, 1),
             (0, 0, 0, position)))
     return logits, cache
+
+
+# decode steps per megakernel invocation. The per-invocation cost of a
+# pallas_call inside a while_loop on this platform is ~100 us regardless of
+# body size (measured with trivial kernels), which capped the 1-step kernel
+# at ~0.28 ms/step; a T-step window amortizes it to ~100/T us. The serial
+# token dependency resolves IN-KERNEL: one-hot embed matmul -> layers ->
+# lm_head -> argmax feed the next grid step through VMEM scratch, with the
+# window's own K/V rows kept in scratch so the HBM cache is only read for
+# rows decoded before the window. Measured at B=8 bf16-vs-fused, full
+# 1024-step decode: T=8 0.134, T=16 0.113, T=32 0.106 ms/step (XLA body
+# 0.321). T=32 trades up to 31 wasted post-EOS steps per batch (~3 ms)
+# for the lowest steady-state cost.
+FUSED_WINDOW = 32
+
+
+def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
+                        n_chunks: int, lenc: int, t_window: int):
+    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
+    inner, d_ff, vocab = cfg.inner_dim, cfg.d_ff, cfg.vocab_size
+    eps = cfg.layer_norm_epsilon
+    n_layers = cfg.num_decoder_layers
+    hb = heads * batch
+    pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
+    (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
+     merge_hb, quantize_rows) = _math_helpers(cfg, batch)
+
+    def kernel(pos_ref, tokens_in, finished_in, embed, pos_rows,
+               wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
+               wff_in, sff_in, wff_out, sff_out, norms,
+               fnorm, lm_q, lm_s,
+               ckq, cks, cvq, cvs,
+               kq, ks, vq, vs,
+               tokens_out, finished_out, kq_out, ks_out, vq_out, vs_out,
+               x_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr,
+               wk_scr, wv_scr, tok_scr, fin_scr):
+        t = pl.program_id(0)
+        i = pl.program_id(1)
+        c = pl.program_id(2)
+        pos0 = pos_ref[0]
+
+        @pl.when(jnp.logical_and(t == 0,
+                                 jnp.logical_and(i == 0, c == 0)))
+        def _():
+            tok_scr[:] = tokens_in[:]
+            fin_scr[:] = finished_in[:]
+
+        @pl.when(jnp.logical_and(i == 0, c == 0))
+        def _():
+            # embed the current token as a one-hot MXU matmul (no gathers)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (batch, vocab), 1)
+            onehot = (ids == tok_scr[:]).astype(jnp.bfloat16)
+            x = jnp.dot(onehot, embed[:],
+                        preferred_element_type=jnp.float32)
+            x_scr[:] = x + pos_rows[pl.ds(t, 1), :]
+
+        @pl.when(c == 0)
+        def _():
+            h1 = _rms(x_scr[:], norms[0, 0:1, :], eps).astype(jnp.bfloat16)
+            qkv = int8_proj(h1, wqkv[0], sqkv[0])       # (B, 3*inner) f32
+            scatter_heads(q_scr, qkv, 0)
+            scatter_heads(k_scr, qkv, inner)
+            scatter_heads(v_scr, qkv, 2 * inner)
+            m_scr[:] = jnp.full((hb, 1), -1e30, jnp.float32)
+            l_scr[:] = jnp.zeros((hb, 1), jnp.float32)
+            acc_scr[:] = jnp.zeros((hb, d_kv), jnp.float32)
+            # window rows: this step's K/V, visible to later window steps
+            wk_scr[i, t] = k_scr[:].astype(jnp.bfloat16)
+            wv_scr[i, t] = v_scr[:].astype(jnp.bfloat16)
+            kq_row, ks_row = quantize_rows(k_scr[:])
+            vq_row, vs_row = quantize_rows(v_scr[:])
+            kq_out[0, 0] = kq_row
+            ks_out[0, 0] = ks_row
+            vq_out[0, 0] = vq_row
+            vs_out[0, 0] = vs_row
+
+        # ---- flash attention over HBM cache chunk c (rows < pos0 only;
+        # rows decoded inside this window live in wk/wv scratch) ----
+        base = c * chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1) + base
+        valid = col < pos0
+        scores = int8_scores(q_scr[:], merge_hb(kq), merge_hb(ks))
+        scores = jnp.where(valid, scores, -1e30)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = (acc_scr[:] * alpha
+                      + int8_values(p, merge_hb(vq), merge_hb(vs)))
+        m_scr[:] = m_new
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            x = x_scr[:]
+            # window rows j = 0..t (j == t is the current position)
+            q = q_scr[:]
+            m, l, acc = m_scr[:], l_scr[:], acc_scr[:]
+            for j in range(t_window):
+                # rows j > t are uninitialized scratch — mask VALUES, not
+                # just weights (0 * NaN/garbage would still poison acc)
+                kj = jnp.where(j <= t, wk_scr[i, j].astype(jnp.float32),
+                               0.0)
+                vj = jnp.where(j <= t, wv_scr[i, j].astype(jnp.float32),
+                               0.0)
+                s_j = jnp.sum(q * kj, axis=-1, keepdims=True)
+                s_j = jnp.where(j <= t, s_j, -1e30)
+                m_new = jnp.maximum(m, s_j)
+                alpha = jnp.exp(m - m_new)
+                p_j = jnp.where(j <= t, jnp.exp(s_j - m_new), 0.0)
+                l = l * alpha + p_j
+                acc = acc * alpha + p_j * vj
+                m = m_new
+            attn = gather_heads(acc / l).astype(jnp.bfloat16)
+            x = x + int8_proj(attn, wo[0], so[0])
+
+            # cross-attention over the int8 encoder KV
+            h2 = _rms(x, norms[0, 1:2, :], eps).astype(jnp.bfloat16)
+            qc_flat = int8_proj(h2, wqc[0], sqc[0])
+            scatter_heads(q_scr, qc_flat, 0)
+            scores = int8_scores(q_scr[:], merge_hb(ckq), merge_hb(cks))
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn_c = int8_values(probs, merge_hb(cvq), merge_hb(cvs))
+            attn_c = gather_heads(attn_c).astype(jnp.bfloat16)
+            x = x + int8_proj(attn_c, woc[0], soc[0])
+
+            # gated-GELU FF
+            h3 = _rms(x, norms[0, 2:3, :], eps).astype(jnp.bfloat16)
+            g = int8_proj(h3, wff_in[0], sff_in[0])
+            gated = (gelu_new(g[:, :d_ff]) * g[:, d_ff:]).astype(
+                jnp.bfloat16)
+            x = x + int8_proj(gated, wff_out[0], sff_out[0])
+
+            x_scr[:] = x
+
+            @pl.when(i == n_layers - 1)
+            def _():
+                # lm_head + argmax feed the next window step
+                xf = _rms(x, fnorm[0:1, :], eps).astype(jnp.bfloat16)
+                logits = int8_proj(xf, lm_q[:], lm_s[:])   # (B, vocab) f32
+                mx = jnp.max(logits, axis=-1, keepdims=True)
+                cand = jnp.where(
+                    logits == mx,
+                    jax.lax.broadcasted_iota(jnp.int32, (batch, vocab), 1),
+                    vocab)
+                nxt = jnp.min(cand, axis=-1, keepdims=True).astype(jnp.int32)
+                nxt = jnp.where(fin_scr[:] > 0, pad_id, nxt)
+                fin_scr[:] = jnp.where(nxt == eos_id, 1, fin_scr[:])
+                tok_scr[:] = nxt
+                tokens_out[0] = nxt
+
+                @pl.when(t == t_window - 1)
+                def _():
+                    finished_out[:] = fin_scr[:]
+
+    return kernel
+
+
+def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
+                        tokens: jnp.ndarray, finished: jnp.ndarray,
+                        position, cache: Dict[str, jnp.ndarray],
+                        cross: Dict[str, jnp.ndarray],
+                        t_window: int = FUSED_WINDOW,
+                        interpret: bool = False):
+    """Decode t_window greedy steps in ONE megakernel invocation.
+
+    tokens (B,) int32: input token of the first step (position `position`);
+    finished (B,) bool. Returns (window_tokens (B, t_window) int32,
+    finished (B,) bool, updated cache)."""
+    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
+    n_layers = cfg.num_decoder_layers
+    batch = tokens.shape[0]
+    hb = heads * batch
+    max_len = cache['kq'].shape[-1]
+    lenc = cross['ckq'].shape[-1]
+    chunk = min(CHUNK, max_len)
+    if max_len % chunk:
+        raise ValueError(f'fused cache length {max_len} must be a multiple '
+                         f'of {chunk}')
+    n_chunks = max_len // chunk
+
+    pos = jnp.asarray(position, jnp.int32)
+    pos_rows = jax.lax.dynamic_slice(
+        jnp.asarray(dp.pos_table, jnp.float32), (pos, 0),
+        (t_window, d_model))
+    embed = jnp.asarray(dp.token_embed, jnp.bfloat16)
+
+    def layer_spec(block, idx=1):
+        """Block indexed by grid dim `idx` on its leading axis."""
+        return pl.BlockSpec(
+            block,
+            lambda t, i, c, *_, _idx=idx: ((t, i, c)[_idx],)
+            + (0,) * (len(block) - 1),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda t, i, c, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def chunk_spec(block):
+        nd = len(block)
+        return pl.BlockSpec(
+            block, lambda t, i, c, *_: (i,) + (0,) * (nd - 2) + (c,),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_window, n_layers, n_chunks),
+        in_specs=[
+            const_spec((batch, 1)),                           # tokens_in
+            const_spec((batch, 1)),                           # finished_in
+            const_spec((cfg.vocab_size, d_model)),            # embed
+            const_spec((t_window, d_model)),                  # pos_rows
+            layer_spec((1, d_model, 3 * cfg.inner_dim)),      # wqkv
+            layer_spec((1, 1, 3 * cfg.inner_dim)),            # sqkv
+            layer_spec((1, cfg.inner_dim, d_model)),          # wo
+            layer_spec((1, 1, d_model)),                      # so
+            layer_spec((1, d_model, cfg.inner_dim)),          # wqc
+            layer_spec((1, 1, cfg.inner_dim)),                # sqc
+            layer_spec((1, cfg.inner_dim, d_model)),          # woc
+            layer_spec((1, 1, d_model)),                      # soc
+            layer_spec((1, d_model, 2 * cfg.d_ff)),           # wff_in
+            layer_spec((1, 1, 2 * cfg.d_ff)),                 # sff_in
+            layer_spec((1, cfg.d_ff, d_model)),               # wff_out
+            layer_spec((1, 1, d_model)),                      # sff_out
+            layer_spec((1, 3, d_model)),                      # norms
+            const_spec((1, d_model)),                         # final_norm
+            const_spec((d_model, cfg.vocab_size)),            # lm_q
+            const_spec((1, cfg.vocab_size)),                  # lm_s
+            layer_spec((1, heads, batch, d_kv, lenc)),        # ckq
+            layer_spec((1, heads, batch, lenc)),              # cks
+            layer_spec((1, heads, batch, d_kv, lenc)),        # cvq
+            layer_spec((1, heads, batch, lenc)),              # cvs
+            chunk_spec((1, heads, batch, d_kv, chunk)),       # kq
+            chunk_spec((1, heads, batch, chunk)),             # ks
+            chunk_spec((1, heads, batch, d_kv, chunk)),       # vq
+            chunk_spec((1, heads, batch, chunk)),             # vs
+        ],
+        out_specs=[
+            pl.BlockSpec((1, batch, 1), lambda t, i, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),            # tokens_out
+            const_spec((batch, 1)),                           # finished_out
+            pl.BlockSpec((1, 1, hb, d_kv),
+                         lambda t, i, c, *_: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),            # kq_out
+            pl.BlockSpec((1, 1, hb, 1), lambda t, i, c, *_: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),            # ks_out
+            pl.BlockSpec((1, 1, hb, d_kv),
+                         lambda t, i, c, *_: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),            # vq_out
+            pl.BlockSpec((1, 1, hb, 1), lambda t, i, c, *_: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),            # vs_out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, d_model), jnp.float32),        # x_scr
+            pltpu.VMEM((hb, d_kv), jnp.float32),              # q_scr
+            pltpu.VMEM((hb, d_kv), jnp.float32),              # k_scr
+            pltpu.VMEM((hb, d_kv), jnp.float32),              # v_scr
+            pltpu.VMEM((hb, 1), jnp.float32),                 # m_scr
+            pltpu.VMEM((hb, 1), jnp.float32),                 # l_scr
+            pltpu.VMEM((hb, d_kv), jnp.float32),              # acc_scr
+            pltpu.VMEM((n_layers, t_window, hb, d_kv),
+                       jnp.bfloat16),                         # wk_scr
+            pltpu.VMEM((n_layers, t_window, hb, d_kv),
+                       jnp.bfloat16),                         # wv_scr
+            pltpu.VMEM((batch, 1), jnp.int32),                # tok_scr
+            pltpu.VMEM((batch, 1), jnp.int32),                # fin_scr
+        ],
+    )
+    kernel = _make_window_kernel(cfg, batch, chunk, n_chunks, lenc,
+                                 t_window)
+    toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_window, batch, 1), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, 1), jnp.float32),
+        ],
+        interpret=interpret or not _on_tpu(),
+    )(pos.reshape(1), tokens[:, None].astype(jnp.int32),
+      finished[:, None].astype(jnp.int32), embed, pos_rows,
+      fp.wqkv, fp.sqkv, fp.wo, fp.so, fp.wqc, fp.sqc, fp.woc, fp.soc,
+      fp.wff_in, fp.sff_in, fp.wff_out, fp.sff_out, fp.norms,
+      fp.final_norm, fp.lm_q, fp.lm_s,
+      cross['ckq'], cross['cks'], cross['cvq'], cross['cvs'],
+      cache['kq'], cache['ks'], cache['vq'], cache['vs'])
+
+    # scatter the window's T pre-quantized K/V rows in one update each
+    def rows_last(a, tail):
+        # (T, L, HB, tail) -> (L, H, B, tail, T)
+        a = a.reshape(t_window, n_layers, heads, batch, tail)
+        return jnp.moveaxis(a, 0, -1)
+
+    cache = dict(
+        kq=jax.lax.dynamic_update_slice(
+            cache['kq'], rows_last(kq_w, d_kv), (0, 0, 0, 0, pos)),
+        ks=jax.lax.dynamic_update_slice(
+            cache['ks'], rows_last(ks_w, 1)[:, :, :, 0, :],
+            (0, 0, 0, pos)),
+        vq=jax.lax.dynamic_update_slice(
+            cache['vq'], rows_last(vq_w, d_kv), (0, 0, 0, 0, pos)),
+        vs=jax.lax.dynamic_update_slice(
+            cache['vs'], rows_last(vs_w, 1)[:, :, :, 0, :],
+            (0, 0, 0, pos)))
+    return toks_w[:, :, 0].T, fin_out[:, 0] > 0, cache

@@ -115,6 +115,49 @@ class TestFusedStep:
                           quantize='fused')
 
 
+class TestFusedWindow:
+    def test_window_matches_per_step_exactly(self):
+        """Two 8-step windows (in-kernel embed/argmax/finished, scratch
+        K/V rows) must reproduce the per-step kernel token-for-token,
+        including the cache handoff between windows."""
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window
+        model, variables, dp, fp, enc, cross, _ = _small_setup()
+        cache = init_fused_cache(SMALL_CFG, 2, 16)
+        toks = jnp.zeros((2,), jnp.int32)
+        seq = [toks]
+        for step in range(16):
+            logits, cache = fused_decode_step(SMALL_CFG, fp, dp, seq[-1],
+                                              jnp.int32(step), cache, cross,
+                                              interpret=True)
+            seq.append(jnp.argmax(logits, -1).astype(jnp.int32))
+        ref = np.stack([np.asarray(s) for s in seq[1:]], axis=1)
+
+        cache2 = init_fused_cache(SMALL_CFG, 2, 16)
+        w1, f1, cache2 = fused_decode_window(
+            SMALL_CFG, fp, dp, jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2,), bool), jnp.int32(0), cache2, cross,
+            t_window=8, interpret=True)
+        w2, f2, cache2 = fused_decode_window(
+            SMALL_CFG, fp, dp, w1[:, -1], f1, jnp.int32(8), cache2, cross,
+            t_window=8, interpret=True)
+        win = np.concatenate([np.asarray(w1), np.asarray(w2)], axis=1)
+        np.testing.assert_array_equal(ref, win)
+
+    def test_window_finished_masking(self):
+        """A row finishing mid-window pads the rest of the window and the
+        finished flag propagates out."""
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window
+        model, variables, dp, fp, enc, cross, _ = _small_setup()
+        cache = init_fused_cache(SMALL_CFG, 2, 16)
+        # start with row 1 already finished: it must emit only pads
+        w, fin, _ = fused_decode_window(
+            SMALL_CFG, fp, dp, jnp.zeros((2,), jnp.int32),
+            jnp.array([False, True]), jnp.int32(0), cache, cross,
+            t_window=8, interpret=True)
+        assert (np.asarray(w)[1] == SMALL_CFG.pad_token_id).all()
+        assert bool(fin[1])
+
+
 class TestFusedAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),
