@@ -1,14 +1,20 @@
 """Headline benchmark: Slakh transcription real-time factor on one chip.
 
-Two workloads, both worst-case full-1024-step greedy decodes (trained
+Three workloads, all worst-case full-1024-step greedy decodes (trained
 models emit EOS far earlier, so real RTF is higher):
 
-  1. headline — the 46M MT3 model decoding 128 segments (262 s of 16 kHz
-     audio) per batch, the best sustainable serving batch;
-  2. segmem_lockstep — the paper's flagship configuration: segmem
-     v2-with-prev contiguous decode, 16 songs x 8 segments in lockstep
-     (per-song sequential memory chains; the reference can only loop one
-     segment at a time — reference: models/t5_segmem_v2_with_prev.py:241-294).
+  1. headline — the 46M MT3 model decoding through the whole-decoder
+     Pallas megakernel (quantize='fused': int8 weights + int8 KV + 32-token
+     windows, ops/fused_decode.py) at batch 8 — measured faster than the
+     bf16 XLA path at ANY batch (PERF.md; zero token flips on the parity
+     model). Falls back to the bf16 XLA path at batch 128 if the kernel
+     fails to compile on the target.
+  2. bf16_b128 — the exact-numerics bf16 XLA path at its best batch.
+  3. segmem_lockstep — the paper's flagship configuration: segmem
+     v2-with-prev contiguous decode, 8 songs x 8 segments in lockstep
+     through the megakernel (per-song sequential memory chains; the
+     reference can only loop one segment at a time — reference:
+     models/t5_segmem_v2_with_prev.py:241-294).
 
 Baseline: the reference's PyTorch-CPU decode (full decoder re-run per
 token, no KV cache — reference models/t5.py:267-295), measured on this
@@ -37,38 +43,53 @@ def main():
     max_length = 1024
     rng = np.random.default_rng(0)
 
-    # ---- headline: vanilla decode at the best sustainable batch ----
-    batch = 128
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
     variables = zero_variables(model)
-    fn = jax.jit(lambda v, m: greedy_decode(model, v, m, max_length))
 
-    def make_mel():
-        return (variables, jnp.asarray(
-            rng.normal(size=(batch, 256, 512)).astype(np.float32)))
+    def measure_vanilla(batch, quantize, reps):
+        fn = jax.jit(lambda v, m: greedy_decode(model, v, m, max_length,
+                                                quantize=quantize))
+        mel = jnp.asarray(
+            rng.normal(size=(batch, 256, 512)).astype(np.float32))
+        best = time_best(fn, lambda: (variables, mel), reps=reps)
+        return batch * 256 * 128 / 16000 / best
 
-    # the shared tunnel adds large run-to-run variance; min over more reps
-    # gets closer to the true device time
-    best = time_best(fn, make_mel, reps=6)
-    audio_sec = batch * 256 * 128 / 16000
-    rtf = audio_sec / best
+    # ---- headline: fused megakernel at B=8; bf16 B=128 as backstop ----
+    mode = "megakernel quantize='fused' int8, batch 8"
+    try:
+        rtf = measure_vanilla(8, 'fused', reps=6)
+    except Exception as err:  # pragma: no cover - target-specific
+        print(f'# fused megakernel unavailable ({err!r}); bf16 fallback')
+        mode = 'bf16 XLA, batch 128'
+        rtf = measure_vanilla(128, 'none', reps=6)
+
+    try:
+        bf16_b128_rtf = measure_vanilla(128, 'none', reps=4)
+    except Exception:  # pragma: no cover
+        bf16_b128_rtf = None
 
     # ---- flagship: segmem with-prev contiguous, multi-song lockstep ----
-    songs, segs = 16, 8
+    songs, segs = 8, 8
     scfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
                      segmem_length=64)
     smodel = MT3(scfg)
     svariables = zero_variables(smodel)
-    sfn = jax.jit(lambda v, m: segmem_greedy_decode(smodel, v, m, max_length))
 
-    def make_seg():
-        return (svariables, jnp.asarray(
-            rng.normal(size=(songs, segs, 256, 512)).astype(np.float32)))
+    def measure_segmem(quantize):
+        sfn = jax.jit(lambda v, m: segmem_greedy_decode(
+            smodel, v, m, max_length, quantize=quantize))
+        mel = jnp.asarray(
+            rng.normal(size=(songs, segs, 256, 512)).astype(np.float32))
+        best = time_best(sfn, lambda: (svariables, mel), reps=3)
+        return songs * segs * 256 * 128 / 16000 / best
 
-    sbest = time_best(sfn, make_seg, reps=4)
-    seg_audio_sec = songs * segs * 256 * 128 / 16000
-    segmem_rtf = seg_audio_sec / sbest
+    try:
+        segmem_rtf = measure_segmem('fused')
+        segmem_mode = 'fused'
+    except Exception:  # pragma: no cover
+        segmem_rtf = measure_segmem('none')
+        segmem_mode = 'bf16'
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'benchmarks', 'baseline_torch_cpu.json')
@@ -82,13 +103,14 @@ def main():
     print(json.dumps({
         'metric': 'slakh_transcription_rtf_worst_case',
         'value': round(rtf, 3),
-        'unit': 'audio-sec/sec/chip (1024-step greedy decode, batch 128)',
+        'unit': f'audio-sec/sec/chip (1024-step greedy decode, {mode})',
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
         'extra': {
+            'bf16_b128_rtf': round(bf16_b128_rtf, 3)
+            if bf16_b128_rtf else None,
             'segmem_lockstep_rtf': round(segmem_rtf, 3),
-            'segmem_lockstep_config': '16 songs x 8 segments, '
-                                      'with-prev contiguous chains',
-            'segmem_vs_vanilla': round(segmem_rtf / rtf, 3),
+            'segmem_lockstep_config': f'8 songs x 8 segments, with-prev '
+                                      f'contiguous chains ({segmem_mode})',
         },
     }))
 

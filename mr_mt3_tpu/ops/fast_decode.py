@@ -433,7 +433,11 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
             max_length)
         return out[:batch]
 
-    t_win = FUSED_WINDOW
+    # longer encoders (segmem memory appended) also halve the window to
+    # shrink the persistent wk/wv scratch — both knobs keep the kernel
+    # under VMEM at the 1024-position phase
+    t_win = FUSED_WINDOW if encoder_out.shape[1] <= 256 else \
+        max(8, FUSED_WINDOW // 2)
     # window-align the decode budget; the tail past max_length is wasted
     # compute only (tokens are sliced off)
     ml_eff = -(-max_length // t_win) * t_win

@@ -388,7 +388,9 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
     batch = tokens.shape[0]
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
-    chunk = min(CHUNK, max_len)
+    # longer encoders (segmem appends memory: Lenc=320) grow the resident
+    # cross-KV blocks; halve the streamed cache chunk to stay under VMEM
+    chunk = min(CHUNK if lenc <= 256 else CHUNK // 2, max_len)
     if max_len % chunk:
         raise ValueError(f'fused cache length {max_len} must be a multiple '
                          f'of {chunk}')
@@ -675,7 +677,9 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
     hb = heads * batch
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
-    chunk = min(CHUNK, max_len)
+    # longer encoders (segmem appends memory: Lenc=320) grow the resident
+    # cross-KV blocks; halve the streamed cache chunk to stay under VMEM
+    chunk = min(CHUNK if lenc <= 256 else CHUNK // 2, max_len)
     if max_len % chunk:
         raise ValueError(f'fused cache length {max_len} must be a multiple '
                          f'of {chunk}')
