@@ -172,3 +172,23 @@ class TestMicroBatcher:
         assert good is not None
         with pytest.raises(ValueError):
             batcher.transcribe(np.zeros(1, np.float32))
+
+
+class TestBuildHandler:
+    def test_quantize_default_and_override(self, tmp_path, monkeypatch):
+        """build_handler defaults to the megakernel only on TPU and honors
+        eval.quantize overrides."""
+        import jax
+        # on the CPU test backend the default must stay exact bf16/XLA
+        handler = serve.build_handler(
+            ['model=MT3Net', 'model.config.num_layers=1',
+             'model.config.d_model=32', 'model.config.d_ff=48',
+             'model.config.num_heads=2', 'model.config.d_kv=16'])
+        assert jax.default_backend() != 'tpu'
+        assert handler.quantize == 'none'
+        handler = serve.build_handler(
+            ['model=MT3Net', 'model.config.num_layers=1',
+             'model.config.d_model=32', 'model.config.d_ff=48',
+             'model.config.num_heads=2', 'model.config.d_kv=16',
+             '+eval.quantize=int8'])
+        assert handler.quantize == 'int8'
