@@ -404,7 +404,8 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
 
 def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
                       encoder_out: jnp.ndarray,
-                      max_length: int) -> jnp.ndarray:
+                      max_length: int,
+                      n_valid: int = None) -> jnp.ndarray:
     """Greedy decode through the whole-decoder megakernel.
 
     The while-loop body is ONE pallas invocation decoding FUSED_WINDOW
@@ -430,8 +431,16 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     if pad_rows:
         out = greedy_loop_fused(
             cfg, dp, jnp.pad(encoder_out, ((0, pad_rows), (0, 0), (0, 0))),
-            max_length)
+            max_length, n_valid=batch)
         return out[:batch]
+    if batch > 8:
+        # per-stage VMEM = one layer's weights + cross-KV + a cache chunk;
+        # cross-KV scales with batch and already fills the budget at B=8
+        # (PERF.md). Large batches belong to the bf16 XLA path anyway —
+        # the megakernel's win is small-batch latency.
+        raise ValueError(
+            f"quantize='fused' supports batch <= 8 (got {batch}); use the "
+            "default bf16 path for large-batch throughput")
 
     # longer encoders (segmem memory appended) also halve the window to
     # shrink the persistent wk/wv scratch — both knobs keep the kernel
@@ -447,7 +456,10 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     cache = init_fused_cache(cfg, batch, bounds[0])
     tokens = jnp.full((batch, ml_eff + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
-    finished = jnp.zeros((batch,), bool)
+    # alignment-padding rows (zero encoder) may never emit EOS; marking
+    # them finished from the start keeps the all-finished early exit live
+    finished = (jnp.zeros((batch,), bool) if n_valid is None
+                else jnp.arange(batch) >= n_valid)
 
     def body(state):
         i, tokens, cache, finished = state

@@ -104,6 +104,18 @@ class TestFusedStep:
         assert toks.shape == (2, 13)
         assert (toks[:, 0] == 0).all()
 
+    def test_large_batch_rejected(self):
+        """The megakernel is the small-batch latency path; batches beyond
+        8 exceed its VMEM stage budget and must fail loudly."""
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.zeros((16, 8, 16))
+        with pytest.raises(ValueError, match='batch <= 8'):
+            greedy_decode(model, variables, mel, max_length=8,
+                          quantize='fused')
+
     def test_bad_max_length_rejected(self):
         model = MT3(SMALL_CFG)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
