@@ -42,6 +42,7 @@ def get_scores(
     batch_size: int = 8,
     max_length: int = 1024,
     songs_per_batch: int = 4,
+    quantize: str = 'none',
 ) -> Dict[str, float]:
     """Transcribe every file in eval_audio_dir, then score the output dir.
 
@@ -54,7 +55,8 @@ def get_scores(
             model=model, variables=variables, mel_norm=mel_norm,
             contiguous_inference=contiguous_inference,
             filterbank_style='tf' if use_tf_spectral_ops else 'torch',
-            batch_size=batch_size, max_length=max_length)
+            batch_size=batch_size, max_length=max_length,
+            quantize=quantize)
 
     def outpath_for(fname):
         if eval_dataset == 'Slakh':

@@ -447,6 +447,10 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     # under VMEM at the 1024-position phase
     t_win = FUSED_WINDOW if encoder_out.shape[1] <= 256 else \
         max(8, FUSED_WINDOW // 2)
+    # tiny decode budgets (tests, short clips) shrink the window so the
+    # kernel does not decode far past max_length (and the unrolled grid
+    # stays small for interpret-mode CPU runs)
+    t_win = min(t_win, max(8, -(-max_length // 8) * 8))
     # window-align the decode budget; the tail past max_length is wasted
     # compute only (tokens are sliced off)
     ml_eff = -(-max_length // t_win) * t_win

@@ -64,6 +64,9 @@ def main(argv=None):
         batch_size=int(cfg.eval.get('batch_size') or 8),
         max_length=int(cfg.eval.get('max_length') or 1024),
         songs_per_batch=int(cfg.eval.get('songs_per_batch') or 4),
+        # eval.quantize=fused opts eval into the whole-decoder megakernel
+        # (3x decode speed; zero parity-model token flips — PERF.md)
+        quantize=str(cfg.eval.get('quantize') or 'none'),
     )
     return scores
 
