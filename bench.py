@@ -58,6 +58,10 @@ def main():
     # ---- headline: fused megakernel at B=8; bf16 B=128 as backstop ----
     mode = "megakernel quantize='fused' int8, batch 8"
     try:
+        if jax.default_backend() != 'tpu':
+            # off-TPU the kernel would silently run INTERPRETED (hours,
+            # not minutes) rather than fail — force the bf16 fallback
+            raise RuntimeError('fused megakernel requires a TPU backend')
         rtf = measure_vanilla(8, 'fused', reps=6)
     except Exception as err:  # pragma: no cover - target-specific
         print(f'# fused megakernel unavailable ({err!r}); bf16 fallback')
@@ -85,6 +89,8 @@ def main():
         return songs * segs * 256 * 128 / 16000 / best
 
     try:
+        if jax.default_backend() != 'tpu':
+            raise RuntimeError('fused megakernel requires a TPU backend')
         segmem_rtf = measure_segmem('fused')
         segmem_mode = 'fused'
     except Exception:  # pragma: no cover

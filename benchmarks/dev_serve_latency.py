@@ -83,10 +83,13 @@ def main():
     wall = time.time() - t0
     lat.sort()
     n = len(lat)
+    import json as _json
+    health = _json.loads(urllib.request.urlopen(
+        url.replace('/transcribe', '/healthz'), timeout=30).read())
     print(f'quantize={quantize} clients={n_clients}: {n} requests in '
           f'{wall:.2f}s  p50 {lat[n // 2]:.2f}s  '
           f'p95 {lat[min(n - 1, int(n * 0.95))]:.2f}s  '
-          f'(batches coalesced: {serve and handler and n})', flush=True)
+          f'(device batches: {health.get("batches")})', flush=True)
 
 
 if __name__ == '__main__':

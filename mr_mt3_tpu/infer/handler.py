@@ -191,6 +191,11 @@ class InferenceHandler:
             tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
             return tokens[:n]
         b = self.batch_size
+        if self.quantize == 'fused':
+            # the megakernel's VMEM stage budget caps device batches at 8
+            # (ops/fast_decode.greedy_loop_fused); larger batch_size still
+            # works, split across calls
+            b = min(b, 8)
         if self.cfg.segmem_variant == 'encoder_append':
             return self._decode_segmem_chained([mel])[0]
         outs = []
@@ -229,12 +234,22 @@ class InferenceHandler:
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         padded_chains = _round_up(len(all_chunks), 4)  # shape bucketing
+        # the megakernel caps device batches at 8 chains; run fixed groups
+        group = 8 if self.quantize == 'fused' else padded_chains
+        if group < padded_chains:
+            padded_chains = _round_up(padded_chains, group)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
                            mels[0].dtype)
         for i, chunk in enumerate(all_chunks):
             stacked[i] = chunk
         fn = self._get_segmem_fn()
-        tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+        if stacked.shape[0] > group:
+            parts = [np.asarray(fn(self.variables,
+                                   jnp.asarray(stacked[s:s + group])))
+                     for s in range(0, stacked.shape[0], group)]
+            tokens = np.concatenate(parts)
+        else:
+            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
         out = []
         for n, start, num_chunks in chains:
             flat = tokens[start:start + num_chunks].reshape(
@@ -304,7 +319,15 @@ class InferenceHandler:
             for i, m in enumerate(mels):
                 stacked[i, :m.shape[0]] = m
             fn = self._get_segmem_fn()
-            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+            # megakernel device-batch cap: lockstep at most 8 songs/call
+            group = 8 if self.quantize == 'fused' else stacked.shape[0]
+            if stacked.shape[0] > group:
+                parts = [np.asarray(fn(self.variables,
+                                       jnp.asarray(stacked[s:s + group])))
+                         for s in range(0, stacked.shape[0], group)]
+                tokens = np.concatenate(parts)
+            else:
+                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
         elif self.cfg.segmem_variant == 'encoder_append':

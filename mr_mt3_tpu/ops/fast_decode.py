@@ -416,14 +416,20 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     from mr_mt3_tpu.ops.fused_decode import (
         CHUNK,
         FUSED_WINDOW,
+        chunk_base_for,
         fused_decode_window,
         init_fused_cache,
         precompute_cross_kv_fused,
     )
     batch = encoder_out.shape[0]
-    if max_length > CHUNK and max_length % CHUNK:
-        raise ValueError(f"quantize='fused' needs max_length <= {CHUNK} "
-                         f'or a multiple of it, got {max_length}')
+    if batch > 8:
+        # per-stage VMEM = one layer's weights + cross-KV + a cache chunk;
+        # cross-KV scales with batch and already fills the budget at B=8
+        # (PERF.md). Large batches belong to the bf16 XLA path anyway —
+        # the megakernel's win is small-batch latency.
+        raise ValueError(
+            f"quantize='fused' supports batch <= 8 (got {batch}); use the "
+            "default bf16 path for large-batch throughput")
     # the kernel's per-head sublane slicing needs 8-row-aligned batch
     # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
     # and slice the result
@@ -433,14 +439,6 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
             cfg, dp, jnp.pad(encoder_out, ((0, pad_rows), (0, 0), (0, 0))),
             max_length, n_valid=batch)
         return out[:batch]
-    if batch > 8:
-        # per-stage VMEM = one layer's weights + cross-KV + a cache chunk;
-        # cross-KV scales with batch and already fills the budget at B=8
-        # (PERF.md). Large batches belong to the bf16 XLA path anyway —
-        # the megakernel's win is small-batch latency.
-        raise ValueError(
-            f"quantize='fused' supports batch <= 8 (got {batch}); use the "
-            "default bf16 path for large-batch throughput")
 
     # longer encoders (segmem memory appended) also halve the window to
     # shrink the persistent wk/wv scratch — both knobs keep the kernel
@@ -456,8 +454,18 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     ml_eff = -(-max_length // t_win) * t_win
     bounds = [p for p in range(CHUNK, ml_eff, CHUNK)] + [ml_eff]
 
+    # the CACHE length must be whole kernel chunks; the loop bound need
+    # not be — decouple them so any max_length works (the kernel masks
+    # cache columns >= position, so an over-long cache only costs padding)
+    chunk_base = chunk_base_for(encoder_out.shape[1])
+
+    def cache_len_for(bound):
+        if bound <= chunk_base:
+            return bound
+        return -(-bound // chunk_base) * chunk_base
+
     cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out)
-    cache = init_fused_cache(cfg, batch, bounds[0])
+    cache = init_fused_cache(cfg, batch, cache_len_for(bounds[0]))
     tokens = jnp.full((batch, ml_eff + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     # alignment-padding rows (zero encoder) may never emit EOS; marking
@@ -475,16 +483,17 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         return i + t_win, tokens, cache, finished
 
     state = (jnp.int32(0), tokens, cache, finished)
-    cache_len = bounds[0]
+    cache_len = cache_len_for(bounds[0])
     for bound in bounds:
-        if bound > cache_len:
-            delta = bound - cache_len
+        target = cache_len_for(bound)
+        if target > cache_len:
+            delta = target - cache_len
             i, tokens, cache, finished = state
             cache = jax.tree.map(
                 lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]),
                 cache)
             state = (i, tokens, cache, finished)
-            cache_len = bound
+            cache_len = target
 
         def cond(state, bound=bound):
             i, _, _, finished = state

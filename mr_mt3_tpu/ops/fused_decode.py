@@ -37,16 +37,28 @@ probing the real TPU shape this layout (all verified on v5e):
     BEFORE quantizing.
 
 The hidden state x lives in VMEM scratch across all grid steps; the
-kernel returns the final x plus each layer's new K/V rows, which XLA
-quantizes and scatters into the cache (4 tiny dynamic_update_slices per
-layer — same as the bf16 path).
+kernel emits per-layer K/V rows pre-quantized, which XLA scatters into
+the cache (tiny dynamic_update_slices — same count as the bf16 path).
+
+The product path is the WINDOW kernel (grid (tokens, layers, chunks)):
+a pallas_call inside a compiled loop costs ~100 us per invocation on
+this platform regardless of body size, so FUSED_WINDOW=32 greedy steps
+run per invocation, with the serial token dependency resolved in-kernel
+(one-hot embed matmul -> layers -> lm_head -> argmax feed the next grid
+step through VMEM scratch; the window's own K/V rows stay on-chip in
+bf16 scratch so the HBM cache is only read for rows decoded before the
+window). The per-step kernel remains for tests and as the reference
+implementation of the shared layer math (_layer_ops keeps the two
+identical by construction).
 
 Numerics match ops/int8_attention.py's end-to-end int8 math: q rows and
 the (v-scale-folded) softmax probabilities are quantized per row so both
-attention contractions run as int8 MXU dots with exact rescaling; the
-current position's K/V attends in f32 (it is on-chip anyway). Weights
-are per-output-column int8 as in ops/int8_matmul.py. Token flip rate vs
-the bf16 path is pinned in tests/test_fused_decode.py.
+attention contractions run as int8 MXU dots with exact rescaling.
+In-window rows attend at bf16 (slightly MORE precise than the int8
+cache rows the per-step kernel reads), so window-vs-per-step tokens
+agree on confident models but may argmax apart on near-uniform logits.
+Weights are per-output-column int8 as in ops/int8_matmul.py. Token flip
+rate vs the bf16 path is pinned in tests/test_fused_decode.py.
 
 Opt-in via quantize='fused' (ops/decode.greedy_decode / the
 InferenceHandler). Reference hot loop this accelerates: the per-token
@@ -271,15 +283,88 @@ def _math_helpers(cfg: MT3Config, batch: int):
             gather_heads, merge_hb, quantize_rows)
 
 
-def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
-                 lenc: int):
-    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
-    inner, d_ff = cfg.inner_dim, cfg.d_ff
-    eps = cfg.layer_norm_epsilon
-    n_layers = cfg.num_decoder_layers
-    hb = heads * batch
+def chunk_base_for(lenc: int) -> int:
+    """Streamed cache chunk for a given encoder length.
+
+    Longer encoders (segmem appends memory: Lenc=320) grow the resident
+    cross-KV blocks; halve the chunk to stay under VMEM."""
+    return CHUNK if lenc <= 256 else CHUNK // 2
+
+
+def _layer_ops(cfg: MT3Config, batch: int):
+    """Shared layer-body sections for the step and window kernels.
+
+    Both kernels MUST keep identical math here — any fix applies to both
+    by construction."""
     (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
      merge_hb, quantize_rows) = _math_helpers(cfg, batch)
+    inner, d_kv, d_ff = cfg.inner_dim, cfg.d_kv, cfg.d_ff
+    eps = cfg.layer_norm_epsilon
+    hb = cfg.num_heads * batch
+
+    def qkv_block(x, norms, wqkv, sqkv,
+                  q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, emit_rows):
+        """Project q/k/v from x, reset the flash state, and hand the
+        quantized cache rows to emit_rows(kq, ks, vq, vs)."""
+        h1 = _rms(x, norms[0, 0:1, :], eps).astype(jnp.bfloat16)
+        qkv = int8_proj(h1, wqkv[0], sqkv[0])       # (B, 3*inner) f32
+        scatter_heads(q_scr, qkv, 0)
+        scatter_heads(k_scr, qkv, inner)
+        scatter_heads(v_scr, qkv, 2 * inner)
+        m_scr[:] = jnp.full((hb, 1), -1e30, jnp.float32)
+        l_scr[:] = jnp.zeros((hb, 1), jnp.float32)
+        acc_scr[:] = jnp.zeros((hb, d_kv), jnp.float32)
+        kq_row, ks_row = quantize_rows(k_scr[:])
+        vq_row, vs_row = quantize_rows(v_scr[:])
+        emit_rows(kq_row, ks_row, vq_row, vs_row)
+
+    def flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
+                    base, limit, chunk):
+        """Online-softmax update over one int8 cache chunk; only cache
+        columns < limit (already-written positions) participate."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1) + base
+        valid = col < limit
+        scores = int8_scores(q_scr[:], merge_hb(kq), merge_hb(ks))
+        scores = jnp.where(valid, scores, -1e30)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = (acc_scr[:] * alpha
+                      + int8_values(p, merge_hb(vq), merge_hb(vs)))
+        m_scr[:] = m_new
+
+    def o_cross_ff(x, attn_bf16, q_scr, norms,
+                   wo, so, wqc, sqc, woc, soc,
+                   wff_in, sff_in, wff_out, sff_out,
+                   ckq, cks, cvq, cvs):
+        """Self-attention output projection, cross-attention over the int8
+        encoder KV, and the gated-GELU FF. Returns the new x."""
+        x = x + int8_proj(attn_bf16, wo[0], so[0])
+        h2 = _rms(x, norms[0, 1:2, :], eps).astype(jnp.bfloat16)
+        qc_flat = int8_proj(h2, wqc[0], sqc[0])      # (B, inner)
+        scatter_heads(q_scr, qc_flat, 0)             # reuse q scratch
+        scores = int8_scores(q_scr[:], merge_hb(ckq), merge_hb(cks))
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn_c = int8_values(probs, merge_hb(cvq), merge_hb(cvs))
+        attn_c = gather_heads(attn_c).astype(jnp.bfloat16)
+        x = x + int8_proj(attn_c, woc[0], soc[0])
+        h3 = _rms(x, norms[0, 2:3, :], eps).astype(jnp.bfloat16)
+        g = int8_proj(h3, wff_in[0], sff_in[0])      # (B, 2F)
+        gated = (gelu_new(g[:, :d_ff]) * g[:, d_ff:]).astype(jnp.bfloat16)
+        return x + int8_proj(gated, wff_out[0], sff_out[0])
+
+    return qkv_block, flash_chunk, o_cross_ff
+
+
+def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
+                 lenc: int):
+    eps = cfg.layer_norm_epsilon
+    n_layers = cfg.num_decoder_layers
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch)
 
     def kernel(pos_ref, x_ref,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -299,43 +384,23 @@ def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
 
         @pl.when(c == 0)
         def _():
-            h1 = _rms(x_scr[:], norms[0, 0:1, :], eps).astype(jnp.bfloat16)
-            qkv = int8_proj(h1, wqkv[0], sqkv[0])       # (B, 3*inner) f32
-            scatter_heads(q_scr, qkv, 0)
-            scatter_heads(k_scr, qkv, inner)
-            scatter_heads(v_scr, qkv, 2 * inner)
-            m_scr[:] = jnp.full((hb, 1), -1e30, jnp.float32)
-            l_scr[:] = jnp.zeros((hb, 1), jnp.float32)
-            acc_scr[:] = jnp.zeros((hb, d_kv), jnp.float32)
-            # emit this layer's K/V rows pre-quantized for the cache
-            kq_row, ks_row = quantize_rows(k_scr[:])
-            vq_row, vs_row = quantize_rows(v_scr[:])
-            kq_out[0] = kq_row
-            ks_out[0] = ks_row
-            vq_out[0] = vq_row
-            vs_out[0] = vs_row
+            def emit(kq_row, ks_row, vq_row, vs_row):
+                kq_out[0] = kq_row
+                ks_out[0] = ks_row
+                vq_out[0] = vq_row
+                vs_out[0] = vs_row
+            qkv_block(x_scr[:], norms, wqkv, sqkv,
+                      q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, emit)
 
-        # ---- self-attention: flash update over cache chunk c, all heads
-        # in single (HB)-batched dots ----
-        base = c * chunk
-        col = jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1) + base
-        valid = col < pos  # cache rows 0..pos-1 hold past positions
-        scores = int8_scores(q_scr[:], merge_hb(kq), merge_hb(ks))
-        scores = jnp.where(valid, scores, -1e30)
-        m_old = m_scr[:]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)
-        p = jnp.where(valid, p, 0.0)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = (acc_scr[:] * alpha
-                      + int8_values(p, merge_hb(vq), merge_hb(vs)))
-        m_scr[:] = m_new
+        # self-attention: flash update over cache chunk c, all heads in
+        # single (HB)-batched dots; rows 0..pos-1 hold past positions
+        flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
+                    c * chunk, pos, chunk)
 
         @pl.when(c == n_chunks - 1)
         def _():
             x = x_scr[:]
-            # diagonal term (current position, f32 on-chip), then o-proj
+            # diagonal term (current position, f32 on-chip)
             q, kc, vc = q_scr[:], k_scr[:], v_scr[:]
             s_cur = jnp.sum(q * kc, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_scr[:], s_cur)
@@ -344,24 +409,10 @@ def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
             l_fin = l_scr[:] * alpha + p_cur
             acc = acc_scr[:] * alpha + p_cur * vc
             attn = gather_heads(acc / l_fin).astype(jnp.bfloat16)
-            x = x + int8_proj(attn, wo[0], so[0])
-
-            # ---- cross-attention over the int8 encoder KV ----
-            h2 = _rms(x, norms[0, 1:2, :], eps).astype(jnp.bfloat16)
-            qc_flat = int8_proj(h2, wqc[0], sqc[0])      # (B, inner)
-            scatter_heads(q_scr, qc_flat, 0)             # reuse q scratch
-            scores = int8_scores(q_scr[:], merge_hb(ckq), merge_hb(cks))
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn_c = int8_values(probs, merge_hb(cvq), merge_hb(cvs))
-            attn_c = gather_heads(attn_c).astype(jnp.bfloat16)
-            x = x + int8_proj(attn_c, woc[0], soc[0])
-
-            # ---- gated-GELU FF ----
-            h3 = _rms(x, norms[0, 2:3, :], eps).astype(jnp.bfloat16)
-            g = int8_proj(h3, wff_in[0], sff_in[0])      # (B, 2F)
-            gated = (gelu_new(g[:, :d_ff]) * g[:, d_ff:]).astype(jnp.bfloat16)
-            x = x + int8_proj(gated, wff_out[0], sff_out[0])
-
+            x = o_cross_ff(x, attn, q_scr, norms,
+                           wo, so, wqc, sqc, woc, soc,
+                           wff_in, sff_in, wff_out, sff_out,
+                           ckq, cks, cvq, cvs)
             x_scr[:] = x
 
             @pl.when(i == n_layers - 1)
@@ -388,9 +439,7 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
     batch = tokens.shape[0]
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
-    # longer encoders (segmem appends memory: Lenc=320) grow the resident
-    # cross-KV blocks; halve the streamed cache chunk to stay under VMEM
-    chunk = min(CHUNK if lenc <= 256 else CHUNK // 2, max_len)
+    chunk = min(chunk_base_for(lenc), max_len)
     if max_len % chunk:
         raise ValueError(f'fused cache length {max_len} must be a multiple '
                          f'of {chunk}')
@@ -519,14 +568,12 @@ FUSED_WINDOW = 32
 
 def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
                         n_chunks: int, lenc: int, t_window: int):
-    heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
-    inner, d_ff, vocab = cfg.inner_dim, cfg.d_ff, cfg.vocab_size
+    vocab = cfg.vocab_size
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
-    hb = heads * batch
     pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
-    (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
-     merge_hb, quantize_rows) = _math_helpers(cfg, batch)
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch)
 
     def kernel(pos_ref, tokens_in, finished_in, embed, pos_rows,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -559,40 +606,21 @@ def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
 
         @pl.when(c == 0)
         def _():
-            h1 = _rms(x_scr[:], norms[0, 0:1, :], eps).astype(jnp.bfloat16)
-            qkv = int8_proj(h1, wqkv[0], sqkv[0])       # (B, 3*inner) f32
-            scatter_heads(q_scr, qkv, 0)
-            scatter_heads(k_scr, qkv, inner)
-            scatter_heads(v_scr, qkv, 2 * inner)
-            m_scr[:] = jnp.full((hb, 1), -1e30, jnp.float32)
-            l_scr[:] = jnp.zeros((hb, 1), jnp.float32)
-            acc_scr[:] = jnp.zeros((hb, d_kv), jnp.float32)
+            def emit(kq_row, ks_row, vq_row, vs_row):
+                kq_out[0, 0] = kq_row
+                ks_out[0, 0] = ks_row
+                vq_out[0, 0] = vq_row
+                vs_out[0, 0] = vs_row
+            qkv_block(x_scr[:], norms, wqkv, sqkv,
+                      q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, emit)
             # window rows: this step's K/V, visible to later window steps
             wk_scr[i, t] = k_scr[:].astype(jnp.bfloat16)
             wv_scr[i, t] = v_scr[:].astype(jnp.bfloat16)
-            kq_row, ks_row = quantize_rows(k_scr[:])
-            vq_row, vs_row = quantize_rows(v_scr[:])
-            kq_out[0, 0] = kq_row
-            ks_out[0, 0] = ks_row
-            vq_out[0, 0] = vq_row
-            vs_out[0, 0] = vs_row
 
-        # ---- flash attention over HBM cache chunk c (rows < pos0 only;
-        # rows decoded inside this window live in wk/wv scratch) ----
-        base = c * chunk
-        col = jax.lax.broadcasted_iota(jnp.int32, (hb, chunk), 1) + base
-        valid = col < pos0
-        scores = int8_scores(q_scr[:], merge_hb(kq), merge_hb(ks))
-        scores = jnp.where(valid, scores, -1e30)
-        m_old = m_scr[:]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)
-        p = jnp.where(valid, p, 0.0)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = (acc_scr[:] * alpha
-                      + int8_values(p, merge_hb(vq), merge_hb(vs)))
-        m_scr[:] = m_new
+        # flash attention over HBM cache chunk c (rows < pos0 only; rows
+        # decoded inside this window live in wk/wv scratch)
+        flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
+                    c * chunk, pos0, chunk)
 
         @pl.when(c == n_chunks - 1)
         def _():
@@ -616,25 +644,10 @@ def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
                 acc = acc * alpha + p_j * vj
                 m = m_new
             attn = gather_heads(acc / l).astype(jnp.bfloat16)
-            x = x + int8_proj(attn, wo[0], so[0])
-
-            # cross-attention over the int8 encoder KV
-            h2 = _rms(x, norms[0, 1:2, :], eps).astype(jnp.bfloat16)
-            qc_flat = int8_proj(h2, wqc[0], sqc[0])
-            scatter_heads(q_scr, qc_flat, 0)
-            scores = int8_scores(q_scr[:], merge_hb(ckq), merge_hb(cks))
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn_c = int8_values(probs, merge_hb(cvq), merge_hb(cvs))
-            attn_c = gather_heads(attn_c).astype(jnp.bfloat16)
-            x = x + int8_proj(attn_c, woc[0], soc[0])
-
-            # gated-GELU FF
-            h3 = _rms(x, norms[0, 2:3, :], eps).astype(jnp.bfloat16)
-            g = int8_proj(h3, wff_in[0], sff_in[0])
-            gated = (gelu_new(g[:, :d_ff]) * g[:, d_ff:]).astype(
-                jnp.bfloat16)
-            x = x + int8_proj(gated, wff_out[0], sff_out[0])
-
+            x = o_cross_ff(x, attn, q_scr, norms,
+                           wo, so, wqc, sqc, woc, soc,
+                           wff_in, sff_in, wff_out, sff_out,
+                           ckq, cks, cvq, cvs)
             x_scr[:] = x
 
             @pl.when(i == n_layers - 1)
@@ -677,9 +690,7 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
     hb = heads * batch
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
-    # longer encoders (segmem appends memory: Lenc=320) grow the resident
-    # cross-KV blocks; halve the streamed cache chunk to stay under VMEM
-    chunk = min(CHUNK if lenc <= 256 else CHUNK // 2, max_len)
+    chunk = min(chunk_base_for(lenc), max_len)
     if max_len % chunk:
         raise ValueError(f'fused cache length {max_len} must be a multiple '
                          f'of {chunk}')
