@@ -245,6 +245,56 @@ class TestFusedWindow:
         assert bool(fin[1])
 
 
+class TestFusedHandlerBatching:
+    def test_segmem_chained_splits_into_device_groups(self):
+        """Long audio on a segmem model in fused mode produces more chains
+        than the 8-row device cap — the handler must split them into
+        groups instead of crashing (the pre-fix behavior)."""
+        from mr_mt3_tpu.infer import InferenceHandler
+        scfg = SMALL_CFG.replace(segmem_variant='encoder_append',
+                                 segmem_length=4)
+        model = MT3(scfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+            targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=2,
+                                   quantize='fused')
+        rng = np.random.default_rng(0)
+        # 20 segments / chains of 2 -> 10 chains -> 2 device groups of 8
+        mel = rng.normal(size=(20, 8, scfg.mel_bins)).astype(np.float32)
+        tokens = handler._decode_all(mel)
+        assert tokens.shape == (20, 9)
+        # and the grouped result matches an ungrouped bf16-path reference
+        # shape-wise (token values differ by quantization)
+        ref = InferenceHandler(model=model, variables=variables,
+                               max_length=8,
+                               batch_size=2)._decode_all(mel)
+        assert ref.shape == tokens.shape
+
+    def test_lockstep_songs_split_into_device_groups(self):
+        """transcribe_many in contiguous fused mode groups songs by 8."""
+        from mr_mt3_tpu.infer import InferenceHandler
+        # real mel frontend -> the model needs the full 512 mel bins
+        scfg = SMALL_CFG.replace(segmem_variant='encoder_append',
+                                 segmem_length=4, mel_bins=512)
+        model = MT3(scfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 512)),
+            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+            targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=2,
+                                   contiguous_inference=True,
+                                   quantize='fused')
+        rng = np.random.default_rng(1)
+        audios = [rng.normal(size=(256 * 128,)).astype(np.float32) * 0.05
+                  for _ in range(9)]  # 9 songs > the 8-song device cap
+        results = handler.transcribe_many(audios)
+        assert len(results) == 9
+
+
 class TestFusedAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),
