@@ -85,12 +85,13 @@ def main():
             print(f'phases={phases}: total {t:.3f}s '
                   f'{t / max_length * 1e3:.3f} ms/step', flush=True)
 
+    if 'fused' in cases and jax.default_backend() != 'tpu':
+        print('== fused case skipped: the megakernel runs interpreted '
+              'off-TPU ==', flush=True)
+        cases.discard('fused')
     if 'fused' in cases:
         print('== whole-decoder megakernel vs bf16 XLA body '
               '(full 1024 steps, encoder included) ==', flush=True)
-        if jax.default_backend() != 'tpu':
-            print('  (skipped: fused runs interpreted off-TPU)', flush=True)
-            cases.discard('fused')
         from mr_mt3_tpu.ops.decode import greedy_decode
         for b in (1, 8):
             mel = jnp.asarray(rng.normal(size=(b, 256, 512)), jnp.float32)

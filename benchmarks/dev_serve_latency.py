@@ -53,12 +53,20 @@ def main():
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     url = f'http://127.0.0.1:{srv.server_address[1]}/transcribe'
 
+    import json as _json
+
+    def batches_so_far():
+        return _json.loads(urllib.request.urlopen(
+            url.replace('/transcribe', '/healthz'),
+            timeout=30).read()).get('batches', 0)
+
     body = wav_bytes()
     # warm the program (pays first-execution startup once)
     t0 = time.time()
     urllib.request.urlopen(urllib.request.Request(
         url, data=body, method='POST'), timeout=600).read()
     print(f'warmup: {time.time() - t0:.1f}s', flush=True)
+    batches0 = batches_so_far()
 
     lat = []
     lock = threading.Lock()
@@ -83,13 +91,11 @@ def main():
     wall = time.time() - t0
     lat.sort()
     n = len(lat)
-    import json as _json
-    health = _json.loads(urllib.request.urlopen(
-        url.replace('/transcribe', '/healthz'), timeout=30).read())
     print(f'quantize={quantize} clients={n_clients}: {n} requests in '
           f'{wall:.2f}s  p50 {lat[n // 2]:.2f}s  '
           f'p95 {lat[min(n - 1, int(n * 0.95))]:.2f}s  '
-          f'(device batches: {health.get("batches")})', flush=True)
+          f'(device batches this run: {batches_so_far() - batches0})',
+          flush=True)
 
 
 if __name__ == '__main__':

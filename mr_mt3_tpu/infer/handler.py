@@ -190,14 +190,16 @@ class InferenceHandler:
             fn = self._get_segmem_fn()
             tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
             return tokens[:n]
-        b = self.batch_size
-        if self.quantize == 'fused':
-            # the megakernel's VMEM stage budget caps device batches at 8
-            # (ops/fast_decode.greedy_loop_fused); larger batch_size still
-            # works, split across calls
-            b = min(b, 8)
         if self.cfg.segmem_variant == 'encoder_append':
             return self._decode_segmem_chained([mel])[0]
+        b = self.batch_size
+        if self.quantize == 'fused':
+            # the megakernel's VMEM stage budget caps device batches
+            # (ops/fused_decode.FUSED_MAX_BATCH); larger batch_size still
+            # works, split across calls. (The segmem path above manages
+            # its own device batch = chain count, not batch_size.)
+            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+            b = min(b, FUSED_MAX_BATCH)
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
@@ -234,8 +236,12 @@ class InferenceHandler:
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         padded_chains = _round_up(len(all_chunks), 4)  # shape bucketing
-        # the megakernel caps device batches at 8 chains; run fixed groups
-        group = 8 if self.quantize == 'fused' else padded_chains
+        # the megakernel caps device batches; run fixed chain groups
+        if self.quantize == 'fused':
+            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+            group = FUSED_MAX_BATCH
+        else:
+            group = padded_chains
         if group < padded_chains:
             padded_chains = _round_up(padded_chains, group)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
@@ -319,9 +325,21 @@ class InferenceHandler:
             for i, m in enumerate(mels):
                 stacked[i, :m.shape[0]] = m
             fn = self._get_segmem_fn()
-            # megakernel device-batch cap: lockstep at most 8 songs/call
-            group = 8 if self.quantize == 'fused' else stacked.shape[0]
+            # megakernel device-batch cap: lockstep songs in fixed groups,
+            # tail padded so every call reuses ONE compiled shape (distinct
+            # leading dims would each pay minutes of program startup)
+            if self.quantize == 'fused':
+                from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+                group = FUSED_MAX_BATCH
+            else:
+                group = stacked.shape[0]
             if stacked.shape[0] > group:
+                padded_songs = _round_up(stacked.shape[0], group)
+                if padded_songs != stacked.shape[0]:
+                    stacked = np.concatenate(
+                        [stacked, np.zeros((padded_songs - stacked.shape[0],)
+                                           + stacked.shape[1:],
+                                           stacked.dtype)])
                 parts = [np.asarray(fn(self.variables,
                                        jnp.asarray(stacked[s:s + group])))
                          for s in range(0, stacked.shape[0], group)]

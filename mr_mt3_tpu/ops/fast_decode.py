@@ -415,6 +415,7 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     tokens (B, max_length + 1) like greedy_loop_fast."""
     from mr_mt3_tpu.ops.fused_decode import (
         CHUNK,
+        FUSED_MAX_BATCH,
         FUSED_WINDOW,
         chunk_base_for,
         fused_decode_window,
@@ -422,14 +423,11 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         precompute_cross_kv_fused,
     )
     batch = encoder_out.shape[0]
-    if batch > 8:
-        # per-stage VMEM = one layer's weights + cross-KV + a cache chunk;
-        # cross-KV scales with batch and already fills the budget at B=8
-        # (PERF.md). Large batches belong to the bf16 XLA path anyway —
-        # the megakernel's win is small-batch latency.
+    if batch > FUSED_MAX_BATCH:
         raise ValueError(
-            f"quantize='fused' supports batch <= 8 (got {batch}); use the "
-            "default bf16 path for large-batch throughput")
+            f"quantize='fused' supports batch <= {FUSED_MAX_BATCH} "
+            f'(got {batch}); use the default bf16 path for large-batch '
+            'throughput')
     # the kernel's per-head sublane slicing needs 8-row-aligned batch
     # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
     # and slice the result

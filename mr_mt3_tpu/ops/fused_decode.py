@@ -82,6 +82,12 @@ from mr_mt3_tpu.ops.int8_matmul import quantize_columns
 # stage (weights + cross-KV + chunk) near 6 MB of VMEM at B=8
 CHUNK = 256
 
+# device-batch cap: the per-stage VMEM budget (one layer's weights +
+# cross-KV + a cache chunk, double-buffered) fills at 8 rows; larger
+# batches belong to the bf16 XLA path. The handler splits bigger
+# workloads into groups of this size.
+FUSED_MAX_BATCH = 8
+
 # attention contraction lowering: 'mxu' quantizes q/probs per row and runs
 # (HB)-batched int8 MXU dots (ops/int8_attention.py math); 'vpu' dequantizes
 # K/V in-register and multiply-reduces on the VPU (exact, no q/prob

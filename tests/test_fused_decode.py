@@ -183,17 +183,20 @@ class TestFusedWindow:
                               'parity_vanilla.npz')
         if not os.path.exists(golden):
             pytest.skip('parity goldens missing')
-        from tests.parity_common import VANILLA_CFG, load_golden
+        from tests.parity_common import (
+            VANILLA_CFG,
+            load_golden,
+            parity_corpus,
+        )
         from mr_mt3_tpu.ops.fast_decode import stack_decode_params
         from mr_mt3_tpu.ops.fused_decode import (
             fused_decode_window,
             pack_fused_params,
             precompute_cross_kv_fused,
         )
-        from tests.parity_common import parity_corpus
         from mr_mt3_tpu.infer import InferenceHandler
         from mr_mt3_tpu.models.mt3 import MT3 as MT3Model
-        params, meta = load_golden('parity_vanilla.npz')
+        params, _ = load_golden('parity_vanilla.npz')
         dp = stack_decode_params(params, VANILLA_CFG, dtype=jnp.float32)
         fp = pack_fused_params(params, VANILLA_CFG)
         # the model is only CONFIDENT on its trained corpus — random
