@@ -42,3 +42,18 @@ python test.py \
     'eval.audio_dir=/data/nsynth-valid/audio/*.wav' \
     eval.midi_dir="/data/nsynth-valid/midi/" \
     eval.exp_tag_name="outputs/nsynth"
+
+#  ======= fast eval through the whole-decoder megakernel ======= #
+#  ~3x decode speed on TPU (int8 weights+KV, 32 tokens/launch); zero token
+#  flips on the parity model, but quantized — use the default bf16 path for
+#  strict reference-parity runs. See PERF.md.
+python test.py \
+    --config-name="config_slakh_segmem" \
+    model="MT3NetSegMemV2WithPrev" \
+    path="runs/MT3NetSegMemV2WithPrev_SlakhPrev/checkpoints/last" \
+    eval.eval_dataset="Slakh" \
+    'eval.audio_dir=/data/slakh2100_flac_redux/test/*/mix_16k.wav' \
+    eval.midi_dir="/data/slakh2100_flac_redux/test/" \
+    eval.exp_tag_name="outputs/slakh_fused" \
+    eval.contiguous_inference=true \
+    +eval.quantize=fused
