@@ -77,7 +77,8 @@ class InferenceHandler:
                  batch_size: int = 8,
                  max_length: int = 1024,
                  segment_bucket: int = 32,
-                 quantize: str = 'none'):
+                 quantize: str = 'none',
+                 mesh=None):
         if model is None:
             cfg = MT3Config()
             model = MT3(cfg)
@@ -101,6 +102,20 @@ class InferenceHandler:
         # in one launch per step (small-batch latency mode,
         # ops/fused_decode.py). Both perturb logits slightly.
         self.quantize = quantize
+        # Data-parallel decode over a ('data', 'model') jax mesh: the
+        # decode batch (segments / memory chains / lockstep songs) shards
+        # over 'data' via shard_map — decode is embarrassingly parallel on
+        # that axis, so each chip runs the full local program with ZERO
+        # collectives (the megakernel's per-device batch cap then applies
+        # per chip). The reference's equivalent evaluates on rank 0 only
+        # (reference: tasks/mt3_base.py:27).
+        self.mesh = mesh
+        self.n_data = int(mesh.shape['data']) if mesh is not None else 1
+        if mesh is not None:
+            # device-batch sizes must tile the data axis exactly
+            self.batch_size = _round_up(batch_size, self.n_data)
+            from mr_mt3_tpu.parallel.mesh import replicate
+            self.variables = jax.device_put(self.variables, replicate(mesh))
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)
         self.codec = build_codec(VocabularyConfig(num_velocity_bins=1))
@@ -152,16 +167,32 @@ class InferenceHandler:
 
     # ---- device-side decode ----
 
+    def _shard_jit(self, fn):
+        """jit `fn(variables, mel)`; with a mesh, shard_map it over 'data'
+        so each chip decodes its slice of the leading batch axis as a full
+        local program (KV-cache while_loop, Pallas kernels and all) with no
+        cross-chip communication. Callers pad leading dims to multiples of
+        the data-axis size."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+        # check_vma off: zero-initialized carries (KV caches) start
+        # replicated and become data-varying after the first update, which
+        # the static vma checker rejects; the body has no collectives
+        mapped = jax.shard_map(fn, mesh=self.mesh,
+                               in_specs=(P(), P('data')),
+                               out_specs=P('data'), check_vma=False)
+        return jax.jit(mapped)
+
     def _get_decode_fn(self):
         if self._decode_fn is None:
             model, max_length = self.model, self.max_length
             quantize = self.quantize
 
-            @jax.jit
             def fn(variables, mel):
                 return greedy_decode(model, variables, mel, max_length,
                                      quantize=quantize)
-            self._decode_fn = fn
+            self._decode_fn = self._shard_jit(fn)
         return self._decode_fn
 
     def _get_segmem_fn(self):
@@ -170,13 +201,12 @@ class InferenceHandler:
             codec, vocab = self.codec, self.vocab
             quantize = self.quantize
 
-            @jax.jit
             def fn(variables, mel_segments):
                 return segmem_greedy_decode(model, variables, mel_segments,
                                             max_length,
                                             codec=codec, vocab=vocab,
                                             quantize=quantize)
-            self._segmem_fn = fn
+            self._segmem_fn = self._shard_jit(fn)
         return self._segmem_fn
 
     def _decode_all(self, mel: np.ndarray) -> np.ndarray:
@@ -185,7 +215,11 @@ class InferenceHandler:
         if self.contiguous_inference:
             bucket = max(self.segment_bucket, 1)
             padded = _round_up(n, bucket)
-            mel_p = np.zeros((1, padded) + mel.shape[1:], mel.dtype)
+            # with a mesh the song axis must tile 'data'; a lone song pads
+            # with silent rows (the chain is sequential — extra chips cost
+            # nothing in wall clock, transcribe_many is where they win)
+            mel_p = np.zeros((self.n_data, padded) + mel.shape[1:],
+                             mel.dtype)
             mel_p[0, :n] = mel
             fn = self._get_segmem_fn()
             tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
@@ -195,11 +229,12 @@ class InferenceHandler:
         b = self.batch_size
         if self.quantize == 'fused':
             # the megakernel's VMEM stage budget caps device batches
-            # (ops/fused_decode.FUSED_MAX_BATCH); larger batch_size still
-            # works, split across calls. (The segmem path above manages
-            # its own device batch = chain count, not batch_size.)
+            # (ops/fused_decode.FUSED_MAX_BATCH, per chip under a mesh);
+            # larger batch_size still works, split across calls. (The
+            # segmem path above manages its own device batch = chain
+            # count, not batch_size.)
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-            b = min(b, FUSED_MAX_BATCH)
+            b = min(b, FUSED_MAX_BATCH * self.n_data)
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
@@ -235,11 +270,12 @@ class InferenceHandler:
             mel_p[:n] = mel
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
-        padded_chains = _round_up(len(all_chunks), 4)  # shape bucketing
-        # the megakernel caps device batches; run fixed chain groups
+        # shape bucketing; with a mesh the chain axis also tiles 'data'
+        padded_chains = _round_up(_round_up(len(all_chunks), 4), self.n_data)
+        # the megakernel caps PER-CHIP device batches; run fixed chain groups
         if self.quantize == 'fused':
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-            group = FUSED_MAX_BATCH
+            group = FUSED_MAX_BATCH * self.n_data
         else:
             group = padded_chains
         if group < padded_chains:
@@ -324,13 +360,20 @@ class InferenceHandler:
                                mels[0].dtype)
             for i, m in enumerate(mels):
                 stacked[i, :m.shape[0]] = m
+            if stacked.shape[0] % self.n_data:
+                # the lockstep song axis tiles 'data' under a mesh
+                pad_songs = _round_up(stacked.shape[0],
+                                      self.n_data) - stacked.shape[0]
+                stacked = np.concatenate(
+                    [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
+                                       stacked.dtype)])
             fn = self._get_segmem_fn()
-            # megakernel device-batch cap: lockstep songs in fixed groups,
+            # megakernel per-chip batch cap: lockstep songs in fixed groups,
             # tail padded so every call reuses ONE compiled shape (distinct
             # leading dims would each pay minutes of program startup)
             if self.quantize == 'fused':
                 from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-                group = FUSED_MAX_BATCH
+                group = FUSED_MAX_BATCH * self.n_data
             else:
                 group = stacked.shape[0]
             if stacked.shape[0] > group:

@@ -43,12 +43,17 @@ def get_scores(
     max_length: int = 1024,
     songs_per_batch: int = 4,
     quantize: str = 'none',
+    mesh=None,
 ) -> Dict[str, float]:
     """Transcribe every file in eval_audio_dir, then score the output dir.
 
     Output layout matches the reference: Slakh songs write
     {exp_tag_name}/{song}/mix.mid, ComMU/NSynth write
     {exp_tag_name}/{name}.mid (reference: test.py:46-56).
+
+    mesh: optional ('data', 'model') jax mesh — decode batches shard over
+    the data axis so a v5e-8 eval run drives all 8 chips (the reference
+    evaluates on rank 0 only: tasks/mt3_base.py:27).
     """
     if handler is None:
         handler = InferenceHandler(
@@ -56,7 +61,11 @@ def get_scores(
             contiguous_inference=contiguous_inference,
             filterbank_style='tf' if use_tf_spectral_ops else 'torch',
             batch_size=batch_size, max_length=max_length,
-            quantize=quantize)
+            quantize=quantize, mesh=mesh)
+    if handler.mesh is not None:
+        # in lockstep (contiguous) mode each chip carries whole songs;
+        # fewer songs per batch than chips would idle the surplus
+        songs_per_batch = max(songs_per_batch, handler.n_data)
 
     def outpath_for(fname):
         if eval_dataset == 'Slakh':

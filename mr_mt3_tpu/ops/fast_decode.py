@@ -59,6 +59,15 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
     if quantize == 'fused':
         from mr_mt3_tpu.ops.fused_decode import pack_fused_params
         fused = pack_fused_params(params, cfg)
+        # the megakernel holds every decoder weight in int8 (FusedParams);
+        # the fused driver reads only the cross-attn K/V kernels from the
+        # stacked tree (precompute_cross_kv_stacked) plus token_embed /
+        # pos_table — drop the duplicated bf16 stacks and lm_head so they
+        # are not resident in HBM alongside the int8 copies
+        layers = {'cross_attn': {
+            'k': {'kernel': layers['cross_attn']['k']['kernel']},
+            'v': {'kernel': layers['cross_attn']['v']['kernel']}}}
+        lm_head = jnp.zeros((0,), dtype)
     if quantize == 'int8':
         from mr_mt3_tpu.ops.int8_matmul import quantize_columns
         layers.pop('ff')

@@ -103,11 +103,14 @@ def param_shapes(model: MT3):
 
 
 def check_param_coverage(params, model: MT3):
-    """Raise if `params` is missing leaves the model needs or a loaded
-    leaf's shape mismatches — the strict-load check the reference gets
-    from torch load_state_dict(strict=True) (reference test.py:105-110)."""
+    """Raise if `params` is missing leaves the model needs, a loaded
+    leaf's shape mismatches, or the checkpoint carries leaves the model
+    does not expect — the strict-load check the reference gets from torch
+    load_state_dict(strict=True) (reference test.py:105-110), which also
+    errors on unexpected keys."""
     import jax
     expected = jax.tree.leaves_with_path(param_shapes(model))
+    expected_paths = {path for path, _ in expected}
     loaded = dict(jax.tree.leaves_with_path(params))
     missing, mismatched = [], []
     for path, spec in expected:
@@ -118,10 +121,14 @@ def check_param_coverage(params, model: MT3):
         elif tuple(leaf.shape) != tuple(spec.shape):
             mismatched.append(f'{name}: checkpoint {tuple(leaf.shape)} '
                               f'vs model {tuple(spec.shape)}')
-    if missing or mismatched:
+    unexpected = [jax.tree_util.keystr(path) for path in loaded
+                  if path not in expected_paths]
+    if missing or mismatched or unexpected:
         raise ValueError(
             'strict weight load failed\n'
             + (f'  missing: {", ".join(missing)}\n' if missing else '')
+            + (f'  unexpected: {", ".join(sorted(unexpected))}\n'
+               if unexpected else '')
             + (f'  shape mismatch: {"; ".join(mismatched)}'
                if mismatched else ''))
 

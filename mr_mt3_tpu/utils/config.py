@@ -155,11 +155,13 @@ def load_config(config_dir: str,
     remaining = []
     deletions = []
     for ov in overrides:
+        # hydra '~key' (and the '~key=value' delete-with-value form)
+        # deletes a config entry; check before the '=' split so the
+        # valued form does not create a literal '~key' entry
+        if ov.startswith('~'):
+            deletions.append(ov[1:].split('=', 1)[0])
+            continue
         if '=' not in ov:
-            # hydra '~key' deletes a config entry
-            if ov.startswith('~'):
-                deletions.append(ov[1:])
-                continue
             raise ValueError(f'override must be key=value: {ov}')
         key, value = ov.split('=', 1)
         # hydra prefixes: '+key' adds a new entry, '++key' force-adds;

@@ -24,6 +24,7 @@ import json
 import os
 import sys
 import threading
+import time
 
 
 def build_handler(argv):
@@ -54,14 +55,105 @@ def build_handler(argv):
     # decode latency than the bf16 path at serving batch sizes, zero token
     # flips on the parity model (PERF.md). eval.quantize=none opts back
     # into exact bf16 numerics. (On CPU the kernel would run interpreted —
-    # keep the XLA path there.)
+    # keep the XLA path there.) prepare_handler() guards the default: any
+    # probe-token flip vs exact bf16 falls back before traffic is served.
     import jax
     default_quantize = 'fused' if jax.default_backend() == 'tpu' else 'none'
+    # multi-chip serving: shard decode batches over every visible chip
+    # (devices: <n> limits the data axis, like train.py/test.py)
+    n_dev = int(cfg.get('devices') or len(jax.devices()))
+    mesh = None
+    if n_dev > 1:
+        from mr_mt3_tpu.parallel import make_mesh
+        mesh = make_mesh(data=n_dev, model=1)
     return InferenceHandler(
         model=model, variables=variables, mel_norm=mel_norm,
         contiguous_inference=bool(cfg.eval.get('contiguous_inference')),
         batch_size=int(cfg.eval.get('batch_size') or 8),
-        quantize=str(cfg.eval.get('quantize') or default_quantize))
+        quantize=str(cfg.eval.get('quantize') or default_quantize),
+        mesh=mesh)
+
+
+def _probe_mel(handler, num_segments: int = 2):
+    """Deterministic synthetic probe batch: a chord + percussion-ish
+    noise bursts, so logits are exercised on music-like (not silent)
+    input. Returns mel (num_segments, 256, 512)."""
+    import numpy as np
+
+    from mr_mt3_tpu.infer import InferenceHandler
+    sr = InferenceHandler.SAMPLE_RATE
+    n = num_segments * 256 * 128
+    t = np.arange(n, dtype=np.float32) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)      # C4
+             + 0.2 * np.sin(2 * np.pi * 329.63 * t)    # E4
+             + 0.15 * np.sin(2 * np.pi * 392.0 * t))   # G4
+    burst = (np.arange(n) % (sr // 2)) < 800           # 2 Hz clicks
+    audio = audio + 0.3 * burst * np.sin(2 * np.pi * 1200 * t)
+    segments, _, valid = handler._audio_to_segments(
+        audio.astype(np.float32))
+    return handler._compute_mel(segments, valid)
+
+
+def quantize_probe(handler):
+    """Decode the probe batch through the handler's quantized path AND an
+    exact-bf16 twin; return (flipped_tokens, total_tokens).
+
+    The megakernel's zero-flip evidence is from the overfit parity model
+    (PERF.md); a real checkpoint with near-uniform logits could flip
+    tokens — and F1 — silently. This measures it on the ACTUAL weights
+    being served."""
+    import numpy as np
+
+    from mr_mt3_tpu.infer import InferenceHandler
+    mel = _probe_mel(handler)
+    quant = handler._decode_all(mel)
+    exact_twin = InferenceHandler(
+        model=handler.model, variables=handler.variables,
+        mel_norm=handler.mel_norm,
+        contiguous_inference=handler.contiguous_inference,
+        batch_size=handler.batch_size, max_length=handler.max_length,
+        segment_bucket=handler.segment_bucket, quantize='none',
+        mesh=handler.mesh)
+    exact = exact_twin._decode_all(mel)
+    return int(np.sum(quant != exact)), int(quant.size)
+
+
+def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
+    """Pre-traffic safety + latency work; returns an info dict for /healthz.
+
+    1. quantize guard: with a quantized decode path, decode a probe batch
+       quantized AND exact; ANY token flip falls back to exact bf16 with a
+       logged warning (the within-0.001-F1 bar beats 3x decode speed).
+    2. prewarm: compile-and-run the serving decode program so the first
+       request does not pay the 100-320 s program startup (PERF.md).
+    """
+    info = {'quantize': handler.quantize, 'prewarmed': False}
+    if probe and handler.quantize != 'none':
+        t0 = time.monotonic()
+        flips, total = quantize_probe(handler)
+        info['probe_flips'] = flips
+        info['probe_tokens'] = total
+        info['probe_seconds'] = round(time.monotonic() - t0, 1)
+        if flips:
+            print(f'WARNING: quantize={handler.quantize!r} flipped '
+                  f'{flips}/{total} probe tokens vs exact bf16; serving '
+                  'falls back to exact numerics', file=sys.stderr)
+            handler.quantize = 'none'
+            handler._decode_fn = None
+            handler._segmem_fn = None
+        info['quantize'] = handler.quantize
+    if prewarm:
+        t0 = time.monotonic()
+        # runs the handler's own jitted fn at the serving batch shape
+        # (_decode_all pads every chunk to batch_size, so this is the
+        # exact program requests will hit)
+        handler._decode_all(_probe_mel(handler))
+        info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
+        info['prewarmed'] = True
+    print(f'serving decode path: quantize={handler.quantize!r} '
+          f'(probe={info.get("probe_flips", "skipped")} flips, '
+          f'prewarmed={info["prewarmed"]})')
+    return info
 
 
 class MicroBatcher:
@@ -133,7 +225,7 @@ class MicroBatcher:
                         done.set()
 
 
-def make_server(handler, port: int):
+def make_server(handler, port: int, info=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from mr_mt3_tpu.audio import resample
@@ -141,6 +233,10 @@ def make_server(handler, port: int):
 
     batcher = MicroBatcher(handler)
     stats = {'requests': 0, 'audio_seconds': 0.0, 'batches': 0}
+    if info is None:
+        # server built without prepare_handler(): report the path, cold
+        info = {'quantize': handler.quantize, 'prewarmed': False}
+    stats['decode'] = info
     stats_lock = threading.Lock()
 
     def decode_audio(body: bytes):
@@ -222,7 +318,10 @@ def main():
         else:
             argv.append(arg)
     handler = build_handler(argv)
-    server = make_server(handler, port)
+    # quantize guard + prewarm BEFORE binding the port: the first request
+    # must not pay program startup or risk unguarded quantized numerics
+    info = prepare_handler(handler)
+    server = make_server(handler, port, info)
     print(f'serving on http://127.0.0.1:{port} '
           '(POST /transcribe, /transcribe.json; GET /healthz)')
     server.serve_forever()

@@ -34,11 +34,12 @@ def main(argv=None):
     assert cfg.eval.get('audio_dir'), 'eval.audio_dir is required'
 
     model = builders.build_model(cfg)
-    # reference default is a strict torch load; +eval.load_weights_strict=
-    # False opts out (reference test.py:105-110)
+    # reference defaults to a NON-strict torch load when
+    # eval.load_weights_strict is unset (reference test.py:107-110);
+    # +eval.load_weights_strict=True opts into the strict check
     strict = cfg.eval.get('load_weights_strict')
     params, step = builders.load_weights(
-        str(cfg.path), model, strict=True if strict is None else bool(strict))
+        str(cfg.path), model, strict=False if strict is None else bool(strict))
     print(f'loaded weights from {cfg.path} (step {step})')
 
     files = sorted(glob.glob(cfg.eval.audio_dir))
@@ -50,6 +51,17 @@ def main(argv=None):
 
     mel_norm = 'pretrained/mt3.pth' not in str(cfg.path)
     ground_truth = cfg.eval.get('midi_dir') or cfg.dataset.test.root_dir
+
+    # data-parallel eval: shard decode batches over every visible chip
+    # (devices: null = all, like train.py; the reference evaluates on a
+    # single rank only — reference tasks/mt3_base.py:27)
+    import jax
+    n_dev = int(cfg.get('devices') or len(jax.devices()))
+    mesh = None
+    if n_dev > 1:
+        from mr_mt3_tpu.parallel import make_mesh
+        mesh = make_mesh(data=n_dev, model=1)
+        print(f'eval mesh: {n_dev} devices on the data axis')
 
     scores = get_scores(
         model=model,
@@ -67,6 +79,7 @@ def main(argv=None):
         # eval.quantize=fused opts eval into the whole-decoder megakernel
         # (3x decode speed; zero parity-model token flips — PERF.md)
         quantize=str(cfg.eval.get('quantize') or 'none'),
+        mesh=mesh,
     )
     return scores
 

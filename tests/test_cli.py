@@ -64,6 +64,32 @@ class TestConfigSystem:
         assert cdir is None
         assert ovs == ['model=X', 'a.b=3', '~c.d']
 
+    def test_delete_with_value_prefix(self):
+        # hydra's '~key=value' delete-with-value form must delete the key,
+        # not create a literal '~key' entry
+        cfg = load_config(CONFIG_DIR, 'config',
+                          overrides=['~eval.is_sanity_check=false'])
+        assert 'is_sanity_check' not in cfg.eval
+        assert '~eval' not in cfg
+
+    def test_all_reference_root_configs_load(self):
+        """Every reference root config has a mirror, including
+        config_slakh_f1_0.65 — the config the reference's FIRST train and
+        test commands use (reference train.sh:5, test.sh:4)."""
+        for name in ['config', 'config_slakh_f1_0.65',
+                     'config_slakh_segmem', 'config_slakh_segmem_finetune',
+                     'config_commu']:
+            cfg = load_config(CONFIG_DIR, name)
+            assert cfg.model.config.vocab_size == 1536, name
+        f1 = load_config(CONFIG_DIR, 'config_slakh_f1_0.65')
+        # the long-run hyperparameters that distinguish it (reference
+        # config/config_slakh_f1_0.65.yaml)
+        assert f1.num_epochs == 800
+        assert float(f1.optim.lr) == 2e-4
+        assert f1.optim.warmup_steps == 64500
+        assert f1.num_rows_per_batch == 12
+        assert f1.eval.eval_first_n_examples == 3
+
     def test_all_reference_model_configs_load(self):
         for model in ['MT3Net', 'MT3NetWeightedLoss', 'MT3NetSegMem',
                       'MT3NetSegMemV2', 'MT3NetSegMemV2WithPrev',
@@ -93,6 +119,61 @@ TINY_OVERRIDES = [
     'dataloader.train.num_workers=2', 'dataloader.val.num_workers=1',
     'trainer.log_every_n_steps=1',
 ]
+
+
+class TestStrictWeightLoad:
+    def test_unexpected_keys_rejected(self):
+        """Strict load errors on checkpoint leaves the model does not
+        expect (torch load_state_dict(strict=True) semantics)."""
+        import jax.numpy as jnp
+
+        from mr_mt3_tpu.utils import builders
+        cfg = load_config(CONFIG_DIR, 'config', overrides=TINY_OVERRIDES)
+        model = builders.build_model(cfg)
+        params = builders.init_params(model, seed=0)
+        builders.check_param_coverage(params, model)  # clean tree passes
+        extra = dict(params)
+        extra['bogus_layer'] = {'kernel': jnp.zeros((2, 2))}
+        with pytest.raises(ValueError, match='unexpected'):
+            builders.check_param_coverage(extra, model)
+
+    def test_missing_keys_rejected(self):
+        from mr_mt3_tpu.utils import builders
+        cfg = load_config(CONFIG_DIR, 'config', overrides=TINY_OVERRIDES)
+        model = builders.build_model(cfg)
+        params = builders.init_params(model, seed=0)
+        partial = {k: v for k, v in params.items() if k != 'lm_head'}
+        with pytest.raises(ValueError, match='missing'):
+            builders.check_param_coverage(partial, model)
+
+    def test_testpy_defaults_to_nonstrict_load(self, monkeypatch, tmp_path):
+        """When eval.load_weights_strict is unset, test.py must load
+        NON-strictly (reference test.py:107-110 falls back to
+        strict=False)."""
+        import test as test_cli
+
+        import mr_mt3_tpu.infer.scores as scores_mod
+        from mr_mt3_tpu.utils import builders
+        seen = {}
+
+        def fake_load(path, model, like_params=None, strict=False):
+            seen['strict'] = strict
+            return {}, 0
+
+        monkeypatch.setattr(builders, 'load_weights', fake_load)
+        monkeypatch.setattr(scores_mod, 'get_scores',
+                            lambda **kw: {'Onset F1': 0.0})
+        argv = [
+            '--config-name=config',
+            f'path={tmp_path}/nonexistent',
+            'eval.exp_tag_name=out',
+            f'eval.audio_dir={tmp_path}/*.wav',
+            'eval.midi_dir=gt',
+        ] + TINY_OVERRIDES
+        test_cli.main(argv)
+        assert seen['strict'] is False
+        test_cli.main(argv + ['+eval.load_weights_strict=True'])
+        assert seen['strict'] is True
 
 
 @pytest.mark.slow

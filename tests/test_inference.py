@@ -323,6 +323,88 @@ class TestLongAudio:
         assert ns is not None
 
 
+class TestMeshHandler:
+    """Data-parallel decode through the PRODUCT path: the handler with a
+    ('data', 'model') mesh must emit tokens identical to the single-device
+    handler (fp32 CPU numerics are deterministic)."""
+
+    def _vanilla_pair(self, batch_size=4, mesh_data=4):
+        from mr_mt3_tpu.parallel import make_mesh
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        local = InferenceHandler(model=model, variables=variables,
+                                 max_length=8, batch_size=batch_size)
+        mesh = make_mesh(data=mesh_data, model=1,
+                         devices=jax.devices()[:mesh_data])
+        sharded = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=batch_size,
+                                   mesh=mesh)
+        return local, sharded
+
+    def test_vanilla_handler_tokens_identical(self):
+        local, sharded = self._vanilla_pair()
+        assert sharded.batch_size == 4  # already tiles the 4-chip axis
+        mel = np.random.default_rng(1).normal(
+            size=(10, 256, 512)).astype(np.float32)
+        np.testing.assert_array_equal(local._decode_all(mel),
+                                      sharded._decode_all(mel))
+
+    def test_batch_size_rounds_up_to_data_axis(self):
+        _, sharded = self._vanilla_pair(batch_size=6, mesh_data=4)
+        assert sharded.batch_size == 8
+
+    def test_transcribe_matches(self):
+        local, sharded = self._vanilla_pair()
+        audio = np.random.default_rng(2).normal(
+            size=16000 * 5).astype(np.float32) * 0.05
+        ns_local = local.transcribe(audio)
+        ns_sharded = sharded.transcribe(audio)
+        assert [(n.pitch, n.start_time, n.program)
+                for n in ns_local.notes] == \
+               [(n.pitch, n.start_time, n.program)
+                for n in ns_sharded.notes]
+
+    def test_segmem_chained_tokens_identical(self):
+        from mr_mt3_tpu.parallel import make_mesh
+        mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        # same init seed -> identical weights in both handlers
+        local = _segmem_handler(max_length=8, batch_size=2)
+        sharded = _segmem_handler(max_length=8, batch_size=2, mesh=mesh)
+        mel = np.random.default_rng(3).normal(
+            size=(7, 256, 512)).astype(np.float32) * 0.5
+        np.testing.assert_array_equal(local._decode_all(mel),
+                                      sharded._decode_all(mel))
+
+    def test_contiguous_lockstep_songs_match(self):
+        from mr_mt3_tpu.parallel import make_mesh
+        mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        cfg = SMALL.replace(segmem_variant='encoder_append',
+                            segmem_length=8)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(3),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        kw = dict(model=model, variables=variables, max_length=8,
+                  batch_size=2, contiguous_inference=True,
+                  segment_bucket=4)
+        local = InferenceHandler(**kw)
+        sharded = InferenceHandler(mesh=mesh, **kw)
+        rng = np.random.default_rng(4)
+        # 3 songs -> sharded path pads the song axis to 4
+        audios = [rng.normal(size=16000 * 4).astype(np.float32) * 0.05
+                  for _ in range(3)]
+        res_local = local.transcribe_many(audios)
+        res_sharded = sharded.transcribe_many(audios)
+        for a, b in zip(res_local, res_sharded):
+            assert [(n.pitch, n.start_time) for n in a.notes] == \
+                   [(n.pitch, n.start_time) for n in b.notes]
+
+
 class TestDataParallelDecode:
     def test_sharded_batch_decode(self):
         """Greedy decode with the batch sharded over a data mesh (the

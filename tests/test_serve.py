@@ -174,6 +174,74 @@ class TestMicroBatcher:
             batcher.transcribe(np.zeros(1, np.float32))
 
 
+class TestQuantizeGuard:
+    def _handler(self, quantize='fused'):
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        return InferenceHandler(model=model, variables=variables,
+                                max_length=12, batch_size=4,
+                                quantize=quantize)
+
+    def test_probe_flip_falls_back_to_exact(self, monkeypatch):
+        """Any probe-token flip must demote the quantized serving default
+        to exact bf16 before traffic is accepted."""
+        handler = self._handler('fused')
+        monkeypatch.setattr(serve, 'quantize_probe', lambda h: (3, 100))
+        info = serve.prepare_handler(handler, prewarm=False)
+        assert handler.quantize == 'none'
+        assert handler._decode_fn is None  # stale compiled fn dropped
+        assert info['quantize'] == 'none'
+        assert info['probe_flips'] == 3
+
+    def test_probe_clean_keeps_quantized_path(self, monkeypatch):
+        handler = self._handler('fused')
+        monkeypatch.setattr(serve, 'quantize_probe', lambda h: (0, 100))
+        info = serve.prepare_handler(handler, prewarm=False)
+        assert handler.quantize == 'fused'
+        assert info['probe_flips'] == 0
+
+    def test_probe_skipped_for_exact_path(self):
+        handler = self._handler('none')
+        info = serve.prepare_handler(handler, prewarm=False)
+        assert 'probe_flips' not in info
+        assert info['quantize'] == 'none'
+
+    def test_real_probe_measures_flips(self):
+        """quantize_probe on a random tiny model actually runs both decode
+        paths and returns a well-formed measurement (random weights have
+        near-uniform logits, so flips may be nonzero — the point of the
+        guard)."""
+        handler = self._handler('fused')
+        flips, total = serve.quantize_probe(handler)
+        assert total > 0
+        assert 0 <= flips <= total
+
+    def test_prewarm_runs_serving_program(self):
+        handler = self._handler('none')
+        info = serve.prepare_handler(handler, probe=False)
+        assert info['prewarmed'] is True
+        assert info['prewarm_seconds'] >= 0
+
+    def test_healthz_reports_decode_path(self):
+        """The server surfaces the chosen decode path + warm state."""
+        handler = self._handler('none')
+        info = serve.prepare_handler(handler, prewarm=False)
+        srv = serve.make_server(handler, port=0, info=info)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f'http://127.0.0.1:{srv.server_address[1]}/healthz'
+            with urllib.request.urlopen(url, timeout=30) as r:
+                payload = json.loads(r.read())
+            assert payload['decode']['quantize'] == 'none'
+            assert payload['decode']['prewarmed'] is False
+        finally:
+            srv.shutdown()
+
+
 class TestBuildHandler:
     def test_quantize_default_and_override(self, tmp_path, monkeypatch):
         """build_handler defaults to the megakernel only on TPU and honors
