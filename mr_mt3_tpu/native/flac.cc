@@ -32,6 +32,7 @@ struct BitReader {
   bool eof() const { return byte_pos >= size; }
 
   uint64_t bits(int n) {
+    if (n < 0 || n > 64) { error = true; return 0; }
     uint64_t v = 0;
     for (int i = 0; i < n; ++i) {
       if (byte_pos >= size) { error = true; return 0; }
@@ -109,12 +110,26 @@ bool read_residual(BitReader& br, int block_size, int order,
 const int kFixedCoefs[5][4] = {
     {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
 
+// Wrap-safe signed ops (adversarial residual/coef values can overflow
+// int64; unsigned arithmetic keeps that defined, and the final cast back
+// is two's-complement on every supported target).
+int64_t wrap_mul_add(int64_t acc, int64_t a, int64_t b) {
+  return (int64_t)((uint64_t)acc + (uint64_t)a * (uint64_t)b);
+}
+
+int64_t wrap_add(int64_t a, int64_t b) {
+  return (int64_t)((uint64_t)a + (uint64_t)b);
+}
+
 bool decode_subframe(BitReader& br, int block_size, int bps,
                      std::vector<int64_t>& out) {
   if (br.bits(1) != 0) return false;  // padding bit
   uint32_t type = (uint32_t)br.bits(6);
   uint32_t wasted = 0;
   if (br.bits(1)) wasted = br.unary() + 1;
+  // spec: wasted bits are a property of samples that still have content;
+  // wasted >= bps (or a huge unary run) only appears in corrupt streams
+  if ((int)wasted >= bps || wasted > 32) return false;
   int eff_bps = bps - (int)wasted;
   out.clear();
   out.reserve(block_size);
@@ -133,8 +148,9 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     for (size_t i = 0; i < residual.size(); ++i) {
       int64_t pred = 0;
       size_t n = out.size();
-      for (int j = 0; j < order; ++j) pred += c[j] * out[n - 1 - j];
-      out.push_back(residual[i] + pred);
+      for (int j = 0; j < order; ++j)
+        pred = wrap_mul_add(pred, c[j], out[n - 1 - j]);
+      out.push_back(wrap_add(residual[i], pred));
     }
   } else if (type >= 32) {  // LPC, order = type - 31
     int order = (int)type - 31;
@@ -150,14 +166,15 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     for (size_t i = 0; i < residual.size(); ++i) {
       int64_t pred = 0;
       size_t n = out.size();
-      for (int j = 0; j < order; ++j) pred += coefs[j] * out[n - 1 - j];
-      out.push_back(residual[i] + (pred >> shift));
+      for (int j = 0; j < order; ++j)
+        pred = wrap_mul_add(pred, coefs[j], out[n - 1 - j]);
+      out.push_back(wrap_add(residual[i], pred >> shift));
     }
   } else {
     return false;
   }
   if (wasted)
-    for (auto& v : out) v <<= wasted;
+    for (auto& v : out) v = (int64_t)((uint64_t)v << wasted);
   return !br.error;
 }
 
@@ -215,12 +232,25 @@ bool decode_flac(const uint8_t* data, size_t size, DecodedAudio* out) {
     pos += len;
   }
   if (!info.valid) return false;
+  // STREAMINFO sanity: zero sample_rate / out-of-range depth only occur
+  // in corrupt streams (and would divide-by-zero or misscale downstream)
+  if (info.sample_rate == 0 || info.sample_rate > 655350) return false;
+  if (info.bits_per_sample < 4 || info.bits_per_sample > 32) return false;
+
+  // hard cap on decoded output: tiny adversarial inputs can otherwise
+  // request ~3000 samples per input byte (constant subframes) and OOM the
+  // host. 2^28 interleaved samples = 1 GiB of int32, ~2.2 h of 16 kHz
+  // stereo — far beyond any real transcription request.
+  const uint64_t kMaxSamples = 1ull << 28;
 
   out->sample_rate = info.sample_rate;
   out->channels = info.channels;
   out->bits = info.bits_per_sample;
-  if (info.total_samples)
-    out->samples.reserve(info.total_samples * info.channels);
+  if (info.total_samples) {
+    uint64_t want = info.total_samples * info.channels;
+    if (want > kMaxSamples) return false;
+    out->samples.reserve(want);
+  }
 
   BitReader br{data, size};
   br.byte_pos = pos;
@@ -263,7 +293,11 @@ bool decode_flac(const uint8_t* data, size_t size, DecodedAudio* out) {
     bool left_side = ch_code == 8, right_side = ch_code == 9,
          mid_side = ch_code == 10;
     if (ch_code <= 7) nch = (int)ch_code + 1;
-    else nch = 2;
+    else if (ch_code <= 10) nch = 2;
+    else return false;  // 11-15 reserved
+    // a frame claiming more channels than STREAMINFO would write past
+    // the per-channel buffers
+    if (nch > (int)info.channels) return false;
 
     for (int c = 0; c < nch; ++c) {
       int sub_bps = bps;
@@ -276,21 +310,25 @@ bool decode_flac(const uint8_t* data, size_t size, DecodedAudio* out) {
     br.align();
     br.bits(16);  // frame CRC-16
 
-    // stereo decorrelation
+    // stereo decorrelation (wrap-safe: garbage streams can hold values
+    // near the int64 limits)
     if (left_side) {
       for (uint32_t i = 0; i < block_size; ++i)
-        chans[1][i] = chans[0][i] - chans[1][i];
+        chans[1][i] = (int64_t)((uint64_t)chans[0][i] -
+                                (uint64_t)chans[1][i]);
     } else if (right_side) {
       for (uint32_t i = 0; i < block_size; ++i)
-        chans[0][i] = chans[1][i] + chans[0][i];
+        chans[0][i] = wrap_add(chans[1][i], chans[0][i]);
     } else if (mid_side) {
       for (uint32_t i = 0; i < block_size; ++i) {
         int64_t mid = chans[0][i], side = chans[1][i];
-        mid = (mid << 1) | (side & 1);
-        chans[0][i] = (mid + side) >> 1;
-        chans[1][i] = (mid - side) >> 1;
+        mid = (int64_t)(((uint64_t)mid << 1) | ((uint64_t)side & 1));
+        chans[0][i] = wrap_add(mid, side) >> 1;
+        chans[1][i] = (int64_t)((uint64_t)mid - (uint64_t)side) >> 1;
       }
     }
+    if (out->samples.size() + (uint64_t)block_size * nch > kMaxSamples)
+      return false;  // output cap (see above)
     for (uint32_t i = 0; i < block_size; ++i)
       for (int c = 0; c < nch; ++c)
         out->samples.push_back((int32_t)chans[c][i]);
@@ -340,7 +378,9 @@ uint16_t crc16(const uint8_t* d, size_t n) {
   return crc;
 }
 
-uint64_t zigzag_enc(int64_t v) { return (v << 1) ^ (v >> 63); }
+uint64_t zigzag_enc(int64_t v) {
+  return ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+}
 
 void write_rice(BitWriter& bw, const std::vector<int64_t>& res) {
   // choose rice parameter from mean magnitude
@@ -544,15 +584,21 @@ struct FlacAudio {
 };
 
 int mt3_flac_decode(const uint8_t* data, int64_t size, FlacAudio* out) {
-  DecodedAudio audio;
-  if (!decode_flac(data, (size_t)size, &audio)) return -1;
-  out->n_samples = (int64_t)audio.samples.size();
-  out->samples = new int32_t[audio.samples.size()];
-  std::copy(audio.samples.begin(), audio.samples.end(), out->samples);
-  out->sample_rate = (int32_t)audio.sample_rate;
-  out->channels = (int32_t)audio.channels;
-  out->bits = (int32_t)audio.bits;
-  return 0;
+  // never let an exception (bad_alloc on adversarial sizes) cross the C
+  // boundary into ctypes — report failure instead
+  try {
+    DecodedAudio audio;
+    if (size < 0 || !decode_flac(data, (size_t)size, &audio)) return -1;
+    out->n_samples = (int64_t)audio.samples.size();
+    out->samples = new int32_t[audio.samples.size()];
+    std::copy(audio.samples.begin(), audio.samples.end(), out->samples);
+    out->sample_rate = (int32_t)audio.sample_rate;
+    out->channels = (int32_t)audio.channels;
+    out->bits = (int32_t)audio.bits;
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 void mt3_flac_free(FlacAudio* a) {

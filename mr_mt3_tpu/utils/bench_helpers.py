@@ -32,6 +32,17 @@ def zero_variables(model):
 
 def time_best(fn, make_args, reps: int = 3) -> float:
     """Best-of-reps wall time of fn(*make_args()), host-transfer synced."""
+    return time_stats(fn, make_args, reps=reps)['min']
+
+
+def time_stats(fn, make_args, reps: int = 3) -> dict:
+    """Wall-time stats of fn(*make_args()) over reps runs, host-synced.
+
+    The shared TPU tunnel shows ~15% run-to-run variance (PERF.md), so a
+    single best-of-N hides regressions; the median with a recorded spread
+    makes rounds comparable. Returns {'median','min','max','spread','reps'}
+    where spread = (max - min) / median.
+    """
     import jax
     args = make_args()
     np.asarray(jax.tree.leaves(fn(*args))[0])  # compile + first exec
@@ -42,4 +53,8 @@ def time_best(fn, make_args, reps: int = 3) -> float:
         out = fn(*args)
         np.asarray(jax.tree.leaves(out)[0])
         times.append(time.time() - t0)
-    return min(times)
+    med = float(np.median(times))
+    return {'median': med, 'min': float(min(times)),
+            'max': float(max(times)),
+            'spread': float((max(times) - min(times)) / med) if med else 0.0,
+            'reps': reps}

@@ -84,3 +84,20 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
+
+
+def honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS from the environment via jax.config.
+
+    The axon TPU plugin in this image ignores the JAX_PLATFORMS env var
+    (tests/conftest.py documents the same workaround), so a CLI launched
+    with JAX_PLATFORMS=cpu would still tunnel to the TPU. Calling this
+    before any backend-initializing work makes the env var authoritative.
+    """
+    import os
+    platforms = os.environ.get('JAX_PLATFORMS', '').strip()
+    if platforms:
+        try:
+            jax.config.update('jax_platforms', platforms)
+        except Exception:
+            pass

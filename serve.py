@@ -29,12 +29,16 @@ import time
 
 def build_handler(argv):
     from mr_mt3_tpu.utils.config import load_config, parse_cli
-    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    from mr_mt3_tpu.utils.profiling import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
 
     args = [a for a in argv if not a.startswith('--port')]
     config_name, config_dir, overrides = parse_cli(args)
     cfg = load_config(config_dir or os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'configs'), config_name, overrides)
+    honor_platform_env()
     enable_compilation_cache()
 
     from mr_mt3_tpu.infer import InferenceHandler

@@ -24,7 +24,11 @@ def main(argv=None):
     cfg = load_config(config_dir or os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'configs'), config_name, overrides)
 
-    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    from mr_mt3_tpu.utils.profiling import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+    honor_platform_env()
     enable_compilation_cache()
     from mr_mt3_tpu.infer.scores import get_scores
     from mr_mt3_tpu.utils import builders

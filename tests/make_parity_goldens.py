@@ -42,6 +42,7 @@ from mr_mt3_tpu.train.optim import make_optimizer
 from mr_mt3_tpu.train.trainer import create_train_state, make_train_step
 
 from tests.parity_common import (
+    GOLDEN_DIR,
     MAX_LENGTH,
     NUM_SEGMENTS,
     V1_CFG,
@@ -49,6 +50,8 @@ from tests.parity_common import (
     WITHPREV_CFG,
     audio_sha,
     decode_margin,
+    full_scale_inputs,
+    full_scale_params,
     parity_corpus,
     save_golden,
 )
@@ -203,7 +206,29 @@ def main():
     save_golden('parity_v1.npz', params1, tokens=tokens1,
                 margin=np.float32(margin1), audio_sha=np.bytes_(sha),
                 max_length=np.int32(MAX_LENGTH))
+
+    make_46m_logits_golden()
     print('goldens written to tests/goldens/')
+
+
+def make_46m_logits_golden():
+    """Freeze the production-scale (46M-config) teacher-forced logits slab.
+
+    Weights regenerate deterministically from PRNGKey(0) (no weights are
+    stored — see parity_common.FULL_CFG for why); only the (1, 64, 1536)
+    logits go into the golden."""
+    print('generating 46M-config logits golden')
+    model, params = full_scale_params()
+    mel, ids = full_scale_inputs()
+    logits = np.asarray(model.apply(
+        {'params': params}, jnp.asarray(mel),
+        decoder_input_ids=jnp.asarray(ids), deterministic=True),
+        np.float32)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, 'parity_46m_logits.npz'),
+        logits=logits, decoder_ids=ids,
+        audio_sha=np.bytes_(audio_sha([full_scale_inputs()[0]])))
+    print(f'  logits scale |max| = {np.abs(logits).max():.3f}')
 
 
 if __name__ == '__main__':

@@ -43,6 +43,50 @@ V1_CFG = VANILLA_CFG.replace(segmem_variant='decoder_prepend',
 MAX_LENGTH = 1024  # reference decode budget (inference.py:187)
 NUM_SEGMENTS = 3   # trained/transcribed span per song, 256 frames each
 
+# The PRODUCTION dimensions (46M params: d_model 512, 8+8 layers, 6 heads
+# — reference: models/t5.py:37-72, config/model/MT3Net.yaml). Storing
+# trained 46M weights in-repo is impossible (~183 MB), so production-scale
+# parity is pinned differentially: weights derive DETERMINISTICALLY from
+# PRNGKey(0) (flax init is pure threefry, platform-stable), a short
+# teacher-forced logits slab is frozen as a small golden, and the torch
+# oracle must reproduce the same logits from the same weights. Argmax
+# flip-rate on real trained 46M checkpoints is guarded at runtime by the
+# serving probe (serve.quantize_probe).
+FULL_CFG = MT3Config(dropout_rate=0.0)
+FULL_DECODE_STEPS = 64
+
+
+def full_scale_params():
+    """Deterministic 46M-config parameter tree (seed 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mr_mt3_tpu.models import MT3
+    model = MT3(FULL_CFG)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, FULL_CFG.mel_bins)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+    return model, variables['params']
+
+
+def full_scale_inputs():
+    """Deterministic (mel (1, 256, 512), decoder_ids (1, 64)) probe."""
+    import jax.numpy as jnp
+
+    from mr_mt3_tpu.audio import (
+        SpectrogramConfig,
+        compute_logmel,
+        normalize_logmel,
+    )
+    audios, _ = parity_corpus()
+    seg = audios[0][:256 * 128].reshape(1, -1)
+    mel = normalize_logmel(compute_logmel(jnp.asarray(seg),
+                                          SpectrogramConfig()))
+    ids = np.random.default_rng(7).integers(
+        3, 1389, size=(1, FULL_DECODE_STEPS)).astype(np.int32)
+    ids[0, 0] = 0  # decoder start token
+    return np.asarray(mel, np.float32), ids
+
 
 def tonal_song(rng, n_notes=9, program=0):
     """Deterministic synthetic song: sine per MIDI pitch + broadband noise.

@@ -91,3 +91,73 @@ class TestRoundTrip:
         lpc = encode_flac_bytes(x, 16000, force_mode=108)
         verb_fixed0 = encode_flac_bytes(x, 16000, force_mode=0)
         assert len(lpc) < len(verb_fixed0)
+
+
+class TestMalformedInput:
+    """The decoder parses UNTRUSTED input (serve.py POST bodies): every
+    malformed stream must return a clean error, never crash or hang.
+    Memory safety is separately fuzzed under ASan/UBSan (see the slow
+    fuzz test below and `make -C mr_mt3_tpu/native fuzz`)."""
+
+    def test_truncations_of_valid_stream(self):
+        data = encode_flac_bytes(_tone(6000), 16000)
+        for cut in [4, 8, 20, 41, 42, 43, 100, len(data) // 2,
+                    len(data) - 1]:
+            try:
+                decode_flac_bytes(data[:cut])
+            except ValueError:
+                pass  # rejected is fine; decoded-prefix is fine too
+
+    def test_deterministic_mutations_never_crash(self):
+        data = bytearray(encode_flac_bytes(_tone(6000, channels=2),
+                                           16000, mid_side=True))
+        rng = np.random.default_rng(11)
+        for _ in range(200):
+            corrupt = bytearray(data)
+            for _ in range(int(rng.integers(1, 24))):
+                corrupt[int(rng.integers(0, len(corrupt)))] = \
+                    int(rng.integers(0, 256))
+            try:
+                decode_flac_bytes(bytes(corrupt))
+            except ValueError:
+                pass
+
+    def test_frame_channel_count_exceeding_streaminfo_rejected(self):
+        """A frame header claiming stereo against a mono STREAMINFO used
+        to write out of bounds; it must now be a clean reject."""
+        data = bytearray(encode_flac_bytes(_tone(6000, channels=1), 16000))
+        # frame header starts right after the 4 + 38 byte metadata; the
+        # channel code is the top nibble of header byte 3 plus 1 bit
+        frame = 42
+        data[frame + 3] = (data[frame + 3] & 0x0F) | (10 << 4)  # mid-side
+        with pytest.raises(ValueError):
+            decode_flac_bytes(bytes(data))
+
+    def test_huge_total_samples_rejected(self):
+        """STREAMINFO claiming ~2^36 samples must not attempt a 256 GiB
+        allocation."""
+        data = bytearray(encode_flac_bytes(_tone(600), 16000))
+        data[17 + 4] |= 0x0F  # top 4 bits of the 36-bit total_samples
+        with pytest.raises(ValueError):
+            decode_flac_bytes(bytes(data))
+
+
+@pytest.mark.slow
+class TestFuzzUnderSanitizers:
+    def test_asan_ubsan_fuzz(self):
+        """Build the ASan+UBSan fuzz binary and run the deterministic
+        mutation corpus; any sanitizer report fails the run."""
+        import os
+        import subprocess
+        native = os.path.join(os.path.dirname(__file__), '..',
+                              'mr_mt3_tpu', 'native')
+        try:
+            subprocess.run(['make', '-C', native, 'flac_fuzz'],
+                           check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            pytest.skip(f'cannot build fuzz binary: {e}')
+        proc = subprocess.run(
+            [os.path.join(native, 'flac_fuzz'), '20000'],
+            capture_output=True, timeout=600, text=True)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert 'fuzz ok' in proc.stdout

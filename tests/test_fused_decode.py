@@ -298,6 +298,36 @@ class TestFusedHandlerBatching:
         assert len(results) == 9
 
 
+class TestFusedProductionScale:
+    @pytest.mark.slow
+    def test_fused_step_matches_f32_at_46m_dims(self):
+        """The megakernel at the PRODUCTION dimensions (d_model 512, 8+8
+        layers, 6 heads, vocab 1536 — reference models/t5.py:37-72):
+        int8 weight+KV quantization error vs the fp32 XLA body stays at
+        the percent level, pinning the kernel's numerics at real scale
+        (the other tests only cover d_model 32/96)."""
+        from tests.parity_common import FULL_CFG, full_scale_params
+        model, params = full_scale_params()
+        dp = stack_decode_params(params, FULL_CFG, dtype=jnp.float32)
+        fp = pack_fused_params(params, FULL_CFG)
+        rng = np.random.default_rng(0)
+        enc = jnp.asarray(rng.normal(size=(2, 256, 512)) * 0.5, jnp.float32)
+        cross = precompute_cross_kv_fused(dp, FULL_CFG, enc)
+        cache = init_fused_cache(FULL_CFG, 2, 256)
+        ck = precompute_cross_kv_stacked(dp, FULL_CFG, enc)
+        c_ref = init_cache_stacked(FULL_CFG, 2, 256, dtype=jnp.float32)
+        toks = [jnp.array([3, 900], jnp.int32), jnp.array([1100, 7],
+                                                          jnp.int32)]
+        for step, t in enumerate(toks):
+            got, cache = fused_decode_step(FULL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache, cross,
+                                           interpret=True)
+            want, c_ref = decode_step_fast(FULL_CFG, dp, t,
+                                           jnp.int32(step), c_ref, ck)
+            rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+            assert rel < 0.05, f'step {step}: rel err {rel}'
+
+
 class TestFusedAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),

@@ -95,6 +95,33 @@ class TestServer:
         assert status == 400
         assert b'WAV or FLAC' in body
 
+    def test_malformed_flac_400(self, server):
+        """Bytes with a fLaC magic but corrupt internals must come back as
+        a clean 4xx, not a crashed worker (the native decoder rejects
+        them; fuzzed under ASan/UBSan by native/flac_fuzz)."""
+        for payload in (b'fLaC',                       # magic only
+                        b'fLaC' + b'\x00' * 16,        # truncated metadata
+                        b'fLaC' + bytes(range(256))):  # garbage blocks
+            status, body, _ = _post(server + '/transcribe', payload)
+            assert status == 400, payload[:16]
+
+    def test_corrupted_valid_flac_400_or_200(self, server):
+        """A real stream with stomped frame bytes either decodes (the
+        corruption lands in audio data) or 400s — never 500s."""
+        from mr_mt3_tpu.native.flac import encode_flac_bytes, flac_available
+        if not flac_available():
+            pytest.skip('native FLAC unavailable')
+        t = np.arange(16000) / 16000
+        x = (10000 * np.sin(2 * np.pi * 330 * t)).astype(np.int32)
+        data = bytearray(encode_flac_bytes(x, 16000))
+        rng = np.random.default_rng(5)
+        for _ in range(8):
+            corrupt = bytearray(data)
+            for _ in range(16):
+                corrupt[rng.integers(4, len(corrupt))] = rng.integers(256)
+            status, _, _ = _post(server + '/transcribe', bytes(corrupt))
+            assert status in (200, 400), status
+
     def test_unknown_path_404(self, server):
         status, _, _ = _post(server + '/nope', b'')
         assert status == 404

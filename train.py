@@ -36,7 +36,11 @@ def main(argv=None):
         print(f'multihost: process {jax.process_index()}/'
               f'{jax.process_count()}, {jax.device_count()} global devices')
 
-    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    from mr_mt3_tpu.utils.profiling import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+    honor_platform_env()
     enable_compilation_cache()
     from mr_mt3_tpu.data import DataLoader
     from mr_mt3_tpu.parallel import make_mesh, param_shardings
