@@ -5,10 +5,12 @@ models emit EOS far earlier, so real RTF is higher):
 
   1. headline — the 46M MT3 model decoding through the whole-decoder
      Pallas megakernel (quantize='fused': int8 weights + int8 KV + 32-token
-     windows, ops/fused_decode.py) at batch 8 — measured faster than the
-     bf16 XLA path at ANY batch (PERF.md; zero token flips on the parity
-     model). Falls back to the bf16 XLA path at batch 128 if the kernel
-     fails to compile on the target.
+     windows, ops/fused_decode.py) at batch 64 = eight groups-of-8
+     unrolled in one trace (aggregate throughput IMPROVES with batch:
+     148 RTF at B=8 -> 186 at B=64 — PERF.md; zero token flips on the
+     parity model). The B=8 latency configuration is reported in extra.
+     Falls back to the bf16 XLA path at batch 128 if the kernel fails to
+     compile on the target.
   2. bf16_b128 — the exact-numerics bf16 XLA path at its best batch; this
      is the PARITY-BEARING path (what eval uses by default), reported
      first-class with its own stats.
@@ -69,14 +71,17 @@ def main():
         stats = time_stats(fn, lambda: (variables, mel), reps=reps)
         return rtf_of(stats, batch * 256 * 128 / 16000)
 
-    # ---- headline: fused megakernel at B=8; bf16 B=128 as backstop ----
-    mode = "megakernel quantize='fused' int8, batch 8"
+    # ---- headline: fused megakernel, 8 groups-of-8 in one trace ----
+    mode = "megakernel quantize='fused' int8, batch 64 (groups of 8)"
+    fused_b8 = None
     try:
         if jax.default_backend() != 'tpu':
             # off-TPU the kernel would silently run INTERPRETED (hours,
             # not minutes) rather than fail — force the bf16 fallback
             raise RuntimeError('fused megakernel requires a TPU backend')
-        headline = measure_vanilla(8, 'fused', reps=15)
+        headline = measure_vanilla(64, 'fused', reps=8)
+        # the small-batch latency configuration
+        fused_b8 = measure_vanilla(8, 'fused', reps=12)
     except Exception as err:  # pragma: no cover - target-specific
         print(f'# fused megakernel unavailable ({err!r}); bf16 fallback')
         mode = 'bf16 XLA, batch 128'
@@ -129,6 +134,7 @@ def main():
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
         'extra': {
             'headline': headline,
+            'fused_b8_latency': fused_b8,
             'bf16_exact_b128': bf16_b128,
             'segmem_lockstep': segmem,
             'segmem_lockstep_config': f'{songs} songs x {segs} segments, '

@@ -124,6 +124,7 @@ class InferenceHandler:
 
         self._decode_fn = None
         self._segmem_fn = None
+        self._segmem_fn_local = None
 
     # ---- host-side preprocessing (reference: inference.py:64-127) ----
 
@@ -195,8 +196,14 @@ class InferenceHandler:
             self._decode_fn = self._shard_jit(fn)
         return self._decode_fn
 
-    def _get_segmem_fn(self):
-        if self._segmem_fn is None:
+    def _get_segmem_fn(self, local: bool = False):
+        """local=True returns an unsharded fn even under a mesh — used for
+        single-song contiguous decode, where padding the song axis to the
+        data-axis size would transfer (and decode) n_data-1 silent songs
+        for zero wall-clock gain (the chain is sequential)."""
+        attr = '_segmem_fn_local' if (local and self.mesh is not None) \
+            else '_segmem_fn'
+        if getattr(self, attr) is None:
             model, max_length = self.model, self.max_length
             codec, vocab = self.codec, self.vocab
             quantize = self.quantize
@@ -206,8 +213,9 @@ class InferenceHandler:
                                             max_length,
                                             codec=codec, vocab=vocab,
                                             quantize=quantize)
-            self._segmem_fn = self._shard_jit(fn)
-        return self._segmem_fn
+            setattr(self, attr, jax.jit(fn) if attr == '_segmem_fn_local'
+                    else self._shard_jit(fn))
+        return getattr(self, attr)
 
     def _decode_all(self, mel: np.ndarray) -> np.ndarray:
         """mel (N, 256, 512) -> model-space tokens (N, max_length + 1)."""
@@ -215,26 +223,21 @@ class InferenceHandler:
         if self.contiguous_inference:
             bucket = max(self.segment_bucket, 1)
             padded = _round_up(n, bucket)
-            # with a mesh the song axis must tile 'data'; a lone song pads
-            # with silent rows (the chain is sequential — extra chips cost
-            # nothing in wall clock, transcribe_many is where they win)
-            mel_p = np.zeros((self.n_data, padded) + mel.shape[1:],
-                             mel.dtype)
+            # a lone song cannot use the data axis (its chain is
+            # sequential); decode it unsharded instead of padding the song
+            # axis with n_data-1 silent songs (which would transfer and
+            # decode pure zeros). transcribe_many is where chips win.
+            mel_p = np.zeros((1, padded) + mel.shape[1:], mel.dtype)
             mel_p[0, :n] = mel
-            fn = self._get_segmem_fn()
+            fn = self._get_segmem_fn(local=True)
             tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
             return tokens[:n]
         if self.cfg.segmem_variant == 'encoder_append':
             return self._decode_segmem_chained([mel])[0]
+        # any batch size works in fused mode too: greedy_loop_fused
+        # splits >8-row batches into groups-of-8 inside one trace
+        # (aggregate throughput IMPROVES with batch — PERF.md)
         b = self.batch_size
-        if self.quantize == 'fused':
-            # the megakernel's VMEM stage budget caps device batches
-            # (ops/fused_decode.FUSED_MAX_BATCH, per chip under a mesh);
-            # larger batch_size still works, split across calls. (The
-            # segmem path above manages its own device batch = chain
-            # count, not batch_size.)
-            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-            b = min(b, FUSED_MAX_BATCH * self.n_data)
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
@@ -271,27 +274,15 @@ class InferenceHandler:
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         # shape bucketing; with a mesh the chain axis also tiles 'data'
+        # (fused mode needs no extra grouping here: greedy_loop_fused
+        # splits any chain batch into in-trace groups-of-8 itself)
         padded_chains = _round_up(_round_up(len(all_chunks), 4), self.n_data)
-        # the megakernel caps PER-CHIP device batches; run fixed chain groups
-        if self.quantize == 'fused':
-            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-            group = FUSED_MAX_BATCH * self.n_data
-        else:
-            group = padded_chains
-        if group < padded_chains:
-            padded_chains = _round_up(padded_chains, group)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
                            mels[0].dtype)
         for i, chunk in enumerate(all_chunks):
             stacked[i] = chunk
         fn = self._get_segmem_fn()
-        if stacked.shape[0] > group:
-            parts = [np.asarray(fn(self.variables,
-                                   jnp.asarray(stacked[s:s + group])))
-                     for s in range(0, stacked.shape[0], group)]
-            tokens = np.concatenate(parts)
-        else:
-            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+        tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
         out = []
         for n, start, num_chunks in chains:
             flat = tokens[start:start + num_chunks].reshape(
@@ -367,28 +358,10 @@ class InferenceHandler:
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
                                        stacked.dtype)])
+            # fused mode needs no song grouping: greedy_loop_fused splits
+            # the lockstep song batch into in-trace groups-of-8 itself
             fn = self._get_segmem_fn()
-            # megakernel per-chip batch cap: lockstep songs in fixed groups,
-            # tail padded so every call reuses ONE compiled shape (distinct
-            # leading dims would each pay minutes of program startup)
-            if self.quantize == 'fused':
-                from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-                group = FUSED_MAX_BATCH * self.n_data
-            else:
-                group = stacked.shape[0]
-            if stacked.shape[0] > group:
-                padded_songs = _round_up(stacked.shape[0], group)
-                if padded_songs != stacked.shape[0]:
-                    stacked = np.concatenate(
-                        [stacked, np.zeros((padded_songs - stacked.shape[0],)
-                                           + stacked.shape[1:],
-                                           stacked.dtype)])
-                parts = [np.asarray(fn(self.variables,
-                                       jnp.asarray(stacked[s:s + group])))
-                         for s in range(0, stacked.shape[0], group)]
-                tokens = np.concatenate(parts)
-            else:
-                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
         elif self.cfg.segmem_variant == 'encoder_append':
@@ -424,6 +397,7 @@ class InferenceHandler:
             self.max_length = max_length
             self._decode_fn = None
             self._segmem_fn = None
+            self._segmem_fn_local = None
         try:
             ns = self.transcribe(audio)
             if outpath is None:

@@ -115,8 +115,10 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   attention kernel (the KV cache dominates traffic at
                   large batch);
       'fused'   — the whole-decoder Pallas megakernel with int8 weights
-                  AND int8 KV in a single launch per step (small-batch
-                  latency mode — ops/fused_decode.py). All perturb logits
+                  AND int8 KV in a single launch per step
+                  (ops/fused_decode.py); batches beyond 8 rows run as
+                  groups-of-8 in one trace and aggregate throughput
+                  IMPROVES with batch (PERF.md). All perturb logits
                   slightly.
     """
     if quantize not in ('none', 'int8', 'int8_kv', 'fused'):

@@ -432,11 +432,6 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         precompute_cross_kv_fused,
     )
     batch = encoder_out.shape[0]
-    if batch > FUSED_MAX_BATCH:
-        raise ValueError(
-            f"quantize='fused' supports batch <= {FUSED_MAX_BATCH} "
-            f'(got {batch}); use the default bf16 path for large-batch '
-            'throughput')
     # the kernel's per-head sublane slicing needs 8-row-aligned batch
     # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
     # and slice the result
@@ -446,11 +441,31 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
             cfg, dp, jnp.pad(encoder_out, ((0, pad_rows), (0, 0), (0, 0))),
             max_length, n_valid=batch)
         return out[:batch]
+    if batch > FUSED_MAX_BATCH:
+        # larger batches run as groups-of-8 UNROLLED IN ONE TRACE: a
+        # single bigger kernel does not compile (the per-stage VMEM
+        # budget fills at 8 rows — B=16 at CHUNK 128 or 256 both fail),
+        # but trace-time grouping lets XLA overlap the groups' non-kernel
+        # work and amortize dispatch: measured aggregate 148 (B=8) ->
+        # 161 (B=16) -> 180 (B=32) -> 186 RTF (B=64) on v5e (PERF.md).
+        # All-padding groups (n_valid below their range) start finished
+        # and exit their decode loop immediately.
+        if n_valid is None:
+            n_valid = batch
+        outs = []
+        for s in range(0, batch, FUSED_MAX_BATCH):
+            outs.append(greedy_loop_fused(
+                cfg, dp, encoder_out[s:s + FUSED_MAX_BATCH], max_length,
+                n_valid=max(0, min(FUSED_MAX_BATCH, n_valid - s))))
+        return jnp.concatenate(outs)
 
-    # longer encoders (segmem memory appended) also halve the window to
-    # shrink the persistent wk/wv scratch — both knobs keep the kernel
-    # under VMEM at the 1024-position phase
-    t_win = FUSED_WINDOW if encoder_out.shape[1] <= 256 else \
+    # very long encoders halve the window to shrink the persistent wk/wv
+    # scratch and stay under VMEM at the 1024-position phase. Measured on
+    # v5e: the full window COMPILES AND RUNS at Lenc=320 (the segmem
+    # encoder-append shape, 256 + segmem_length 64) and is ~4% faster
+    # than the halved window (141 vs 147 ms for a B=8 full decode), so
+    # only encoders beyond 320 halve (PERF.md, dev_lockstep_gap.py).
+    t_win = FUSED_WINDOW if encoder_out.shape[1] <= 320 else \
         max(8, FUSED_WINDOW // 2)
     # tiny decode budgets (tests, short clips) shrink the window so the
     # kernel does not decode far past max_length (and the unrolled grid

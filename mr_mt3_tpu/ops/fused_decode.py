@@ -82,10 +82,12 @@ from mr_mt3_tpu.ops.int8_matmul import quantize_columns
 # stage (weights + cross-KV + chunk) near 6 MB of VMEM at B=8
 CHUNK = 256
 
-# device-batch cap: the per-stage VMEM budget (one layer's weights +
-# cross-KV + a cache chunk, double-buffered) fills at 8 rows; larger
-# batches belong to the bf16 XLA path. The handler splits bigger
-# workloads into groups of this size.
+# device-batch cap for ONE kernel: the per-stage VMEM budget (one
+# layer's weights + cross-KV + a cache chunk, double-buffered) fills at 8
+# rows — B=16 fails to compile at CHUNK 256 AND 128 (cross-KV scales
+# with B and cannot be chunked away). Larger batches run as groups-of-8
+# unrolled inside one trace (fast_decode.greedy_loop_fused), which
+# measured BETTER aggregate RTF than B=8: 148 -> 186 audio-sec/s at B=64.
 FUSED_MAX_BATCH = 8
 
 # attention contraction lowering: 'mxu' quantizes q/probs per row and runs

@@ -145,6 +145,7 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             handler.quantize = 'none'
             handler._decode_fn = None
             handler._segmem_fn = None
+            handler._segmem_fn_local = None
         info['quantize'] = handler.quantize
     if prewarm:
         t0 = time.monotonic()

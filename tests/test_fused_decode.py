@@ -104,17 +104,38 @@ class TestFusedStep:
         assert toks.shape == (2, 13)
         assert (toks[:, 0] == 0).all()
 
-    def test_large_batch_rejected(self):
-        """The megakernel is the small-batch latency path; batches beyond
-        8 exceed its VMEM stage budget and must fail loudly."""
+    def test_large_batch_splits_into_groups(self):
+        """Batches beyond the 8-row VMEM ceiling run as groups-of-8
+        unrolled in one trace; tokens must equal per-group calls."""
         model = MT3(SMALL_CFG)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
                                decoder_input_ids=jnp.zeros((1, 4),
                                                            jnp.int32))
-        mel = jnp.zeros((16, 8, 16))
-        with pytest.raises(ValueError, match='batch <= 8'):
-            greedy_decode(model, variables, mel, max_length=8,
-                          quantize='fused')
+        mel = jnp.asarray(np.random.default_rng(9).normal(
+            size=(16, 8, 16)), jnp.float32)
+        got = np.asarray(greedy_decode(model, variables, mel, max_length=8,
+                                       quantize='fused'))
+        assert got.shape == (16, 9)
+        for s in (0, 8):
+            part = np.asarray(greedy_decode(model, variables, mel[s:s + 8],
+                                            max_length=8, quantize='fused'))
+            np.testing.assert_array_equal(got[s:s + 8], part)
+
+    def test_large_batch_with_padding_rows(self):
+        """A non-multiple-of-8 oversized batch pads, groups, and slices
+        back — the all-padding tail group exits immediately."""
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.asarray(np.random.default_rng(10).normal(
+            size=(11, 8, 16)), jnp.float32)
+        got = np.asarray(greedy_decode(model, variables, mel, max_length=8,
+                                       quantize='fused'))
+        assert got.shape == (11, 9)
+        ref = np.asarray(greedy_decode(model, variables, mel[:8],
+                                       max_length=8, quantize='fused'))
+        np.testing.assert_array_equal(got[:8], ref)
 
     def test_odd_max_length_works(self):
         """max_length need not align to chunks or windows — the cache is
