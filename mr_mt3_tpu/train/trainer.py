@@ -242,6 +242,7 @@ class Trainer:
         seed: int = 365,
         mel_norm: bool = True,
         bucket_targets: bool = True,
+        fast_rng: bool = True,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -254,7 +255,22 @@ class Trainer:
         self.eval_after_num_epoch = eval_after_num_epoch
         self.eval_per_epoch = eval_per_epoch
         self.lr_schedule = lr_schedule
-        self.rng = jax.random.PRNGKey(seed)
+        # Dropout-mask generation through threefry costs 28.6% of the
+        # bf16 train step (~600M random bits/step in ALU ops); an
+        # rbg-impl key uses the TPU hardware RNG instead — measured
+        # 212 -> 156 ms/step = 1.36x throughput at B=96 (PERF.md train
+        # roofline). The impl travels WITH the typed key (no global
+        # config), so nothing outside this Trainer changes streams. The
+        # mask stream itself differs, which has no parity bearing (the
+        # reference draws masks from torch's RNG). fast_rng=False keeps
+        # threefry.
+        if fast_rng:
+            try:
+                self.rng = jax.random.key(seed, impl='rbg')
+            except Exception:  # pragma: no cover - impl unavailable
+                self.rng = jax.random.PRNGKey(seed)
+        else:
+            self.rng = jax.random.PRNGKey(seed)
         self.mel_norm = mel_norm
         self.bucket_targets = bucket_targets
 

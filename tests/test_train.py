@@ -220,6 +220,42 @@ class TestTrainerLoop:
             np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+class TestFastRng:
+    def test_rbg_key_trains(self, tmp_path):
+        """fast_rng=True (the default) uses an rbg-impl typed key — the
+        TPU hardware RNG, 1.36x measured train throughput (PERF.md) —
+        and a step still runs and produces a finite loss."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        rng = np.random.default_rng(7)
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'r'),
+                          mesh=make_mesh(data=1, model=1),
+                          log_every_n_steps=1)
+        assert 'rbg' in str(jax.random.key_impl(trainer.rng))
+        state = trainer.fit(state, [_tiny_batch(rng, rows=2)],
+                            num_epochs=1)
+        assert int(state.step) == 1
+
+    def test_fast_rng_off_keeps_threefry(self, tmp_path):
+        model = MT3(TINY)
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'r2'),
+                          mesh=make_mesh(data=1, model=1),
+                          fast_rng=False)
+        assert 'threefry' in str(jax.random.key_impl(trainer.rng))
+
+    def test_global_prng_impl_unchanged(self):
+        """The rbg impl must travel with the key, not leak into global
+        config (parity goldens regenerate weights under threefry)."""
+        key = jax.random.PRNGKey(0)
+        assert 'threefry' in str(jax.random.key_impl(key))
+
+
 class TestBucketTargets:
     def test_trim_is_loss_and_grad_identical(self):
         """Trailing all-pad target positions sit after every real token

@@ -42,6 +42,7 @@ def main(argv=None):
     )
     honor_platform_env()
     enable_compilation_cache()
+
     from mr_mt3_tpu.data import DataLoader
     from mr_mt3_tpu.parallel import make_mesh, param_shardings
     from mr_mt3_tpu.train.trainer import (
@@ -124,7 +125,9 @@ def main(argv=None):
         eval_per_epoch=int(cfg.eval.get('eval_per_epoch') or 1),
         lr_schedule=schedule,
         seed=seed,
-        bucket_targets=bool(cfg.trainer.get('bucket_targets', True)))
+        bucket_targets=bool(cfg.trainer.get('bucket_targets', True)),
+        # hardware-RNG dropout masks: 1.36x train throughput (PERF.md)
+        fast_rng=bool(cfg.trainer.get('fast_rng', True)))
 
     params = builders.init_params(model, seed)
     start_epoch = 0
