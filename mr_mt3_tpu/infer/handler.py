@@ -236,8 +236,12 @@ class InferenceHandler:
             return self._decode_segmem_chained([mel])[0]
         # any batch size works in fused mode too: greedy_loop_fused
         # splits >8-row batches into groups-of-8 inside one trace
-        # (aggregate throughput IMPROVES with batch — PERF.md)
+        # (aggregate throughput IMPROVES with batch — PERF.md), up to
+        # the 8-group / 64-row per-call compile ceiling
         b = self.batch_size
+        if self.quantize == 'fused':
+            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+            b = min(b, 8 * FUSED_MAX_BATCH * self.n_data)
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
@@ -273,16 +277,28 @@ class InferenceHandler:
             mel_p[:n] = mel
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
-        # shape bucketing; with a mesh the chain axis also tiles 'data'
-        # (fused mode needs no extra grouping here: greedy_loop_fused
-        # splits any chain batch into in-trace groups-of-8 itself)
+        # shape bucketing; with a mesh the chain axis also tiles 'data'.
+        # Fused mode groups chains in-trace up to its 64-row per-call
+        # compile ceiling; beyond that, fixed 64-chain device calls.
         padded_chains = _round_up(_round_up(len(all_chunks), 4), self.n_data)
+        group = padded_chains
+        if self.quantize == 'fused':
+            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+            group = min(group, 8 * FUSED_MAX_BATCH * self.n_data)
+        if group < padded_chains:
+            padded_chains = _round_up(padded_chains, group)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
                            mels[0].dtype)
         for i, chunk in enumerate(all_chunks):
             stacked[i] = chunk
         fn = self._get_segmem_fn()
-        tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+        if stacked.shape[0] > group:
+            parts = [np.asarray(fn(self.variables,
+                                   jnp.asarray(stacked[s:s + group])))
+                     for s in range(0, stacked.shape[0], group)]
+            tokens = np.concatenate(parts)
+        else:
+            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
         out = []
         for n, start, num_chunks in chains:
             flat = tokens[start:start + num_chunks].reshape(
@@ -358,10 +374,26 @@ class InferenceHandler:
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
                                        stacked.dtype)])
-            # fused mode needs no song grouping: greedy_loop_fused splits
-            # the lockstep song batch into in-trace groups-of-8 itself
+            # fused mode groups lockstep songs in-trace up to its 64-row
+            # per-call compile ceiling; beyond that, fixed device calls
+            group = stacked.shape[0]
+            if self.quantize == 'fused':
+                from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+                group = min(group, 8 * FUSED_MAX_BATCH * self.n_data)
             fn = self._get_segmem_fn()
-            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+            if stacked.shape[0] > group:
+                padded_songs = _round_up(stacked.shape[0], group)
+                if padded_songs != stacked.shape[0]:
+                    stacked = np.concatenate(
+                        [stacked,
+                         np.zeros((padded_songs - stacked.shape[0],)
+                                  + stacked.shape[1:], stacked.dtype)])
+                parts = [np.asarray(fn(self.variables,
+                                       jnp.asarray(stacked[s:s + group])))
+                         for s in range(0, stacked.shape[0], group)]
+                tokens = np.concatenate(parts)
+            else:
+                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
         elif self.cfg.segmem_variant == 'encoder_append':

@@ -450,6 +450,13 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         # 161 (B=16) -> 180 (B=32) -> 186 RTF (B=64) on v5e (PERF.md).
         # All-padding groups (n_valid below their range) start finished
         # and exit their decode loop immediately.
+        if batch > 8 * FUSED_MAX_BATCH:
+            # 16-group programs fail remote compile on v5e (PERF.md);
+            # callers split into <=64-row device calls (the handler caps
+            # its fused device batch accordingly)
+            raise ValueError(
+                f"quantize='fused' supports at most "
+                f'{8 * FUSED_MAX_BATCH} rows per call (got {batch})')
         if n_valid is None:
             n_valid = batch
         outs = []

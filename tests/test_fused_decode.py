@@ -121,6 +121,35 @@ class TestFusedStep:
                                             max_length=8, quantize='fused'))
             np.testing.assert_array_equal(got[s:s + 8], part)
 
+    def test_batch_beyond_compile_ceiling_rejected(self):
+        """16-group (128-row) programs fail remote compile on v5e
+        (PERF.md); the loop rejects >64-row calls with guidance."""
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.zeros((72, 8, 16))
+        with pytest.raises(ValueError, match='at most 64'):
+            greedy_decode(model, variables, mel, max_length=8,
+                          quantize='fused')
+
+    def test_handler_caps_fused_device_batch(self):
+        """batch_size beyond the fused 64-row ceiling splits across
+        device calls instead of failing."""
+        from mr_mt3_tpu.infer import InferenceHandler
+        model = MT3(SMALL_CFG.replace(mel_bins=512))
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=100,
+                                   quantize='fused')
+        mel = np.random.default_rng(2).normal(
+            size=(72, 256, 512)).astype(np.float32)
+        tokens = handler._decode_all(mel)
+        assert tokens.shape == (72, 9)
+
     def test_large_batch_with_padding_rows(self):
         """A non-multiple-of-8 oversized batch pads, groups, and slices
         back — the all-padding tail group exits immediately."""
