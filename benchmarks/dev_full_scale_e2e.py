@@ -1,0 +1,199 @@
+"""Full-scale end-to-end proof: train the 46M flagship on TPU, then eval.
+
+Trains the production-dimension MR-MT3 model (segmem v2-with-prev, 46M
+params, bf16 + hardware RNG + bucketed targets — the production train
+step) on the deterministic synthetic 2-song corpus until it overfits,
+saves an Orbax checkpoint, and runs the REAL eval path (get_scores:
+contiguous segmem lockstep decode -> MIDI -> mir_eval-equivalent F1)
+against the corpus ground truth. The point: every production component —
+datasets, trainer, checkpointing, handler, eval — executes at the real
+model scale on real hardware, ending in an onset F1 (expected ~1.0 on an
+overfit corpus; the token-level parity harness pins correctness
+separately).
+
+Run on the TPU: python benchmarks/dev_full_scale_e2e.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, '.')
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
+    from mr_mt3_tpu.data import SlakhDatasetWithPrevSegmem, collate_batch
+    from mr_mt3_tpu.models import MT3, MT3Config
+    from mr_mt3_tpu.parallel import make_mesh
+    from mr_mt3_tpu.train.optim import make_optimizer
+    from mr_mt3_tpu.train.trainer import (
+        Trainer,
+        bucket_targets,
+        create_train_state,
+    )
+    # corpus builder inlined (tests.make_parity_goldens forces the CPU
+    # platform at import, which would defeat a TPU run)
+    from mr_mt3_tpu.audio import write_wav
+    from mr_mt3_tpu.codec import note_sequences as nsq
+    from mr_mt3_tpu.midi import note_sequence_to_midi_file
+    from tests.parity_common import parity_corpus
+
+    tmp = tempfile.mkdtemp(prefix='fullscale_')
+    corpus_root = os.path.join(tmp, 'slakh')
+    audios, note_lists = parity_corpus()
+    for i, (audio, notes) in enumerate(zip(audios, note_lists)):
+        d = os.path.join(corpus_root, f'Track0000{i + 1}')
+        os.makedirs(os.path.join(d, 'MIDI'), exist_ok=True)
+        write_wav(os.path.join(d, 'mix_16k.wav'), audio, 16000)
+        ns = nsq.NoteSequence()
+        for start, end, pitch in notes:
+            ns.add_note(start_time=start, end_time=end, pitch=pitch,
+                        velocity=100, program=0, is_drum=False,
+                        instrument=0)
+            ns.total_time = max(ns.total_time, end)
+        note_sequence_to_midi_file(ns, os.path.join(d, 'MIDI', 'S00.mid'))
+        with open(os.path.join(d, 'inst_names.json'), 'w') as f:
+            json.dump({'S00': 'Acoustic Piano'}, f)
+
+    # dropout off: memorizing a 2-song corpus needs loss << the ~0.15
+    # noise floor dropout imposes (the token-parity harness overfits its
+    # tiny models the same way); every other production-step component —
+    # in-step mel, bf16, bucketed targets, donation — is exercised as-is
+    cfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
+                    segmem_length=64, dropout_rate=0.0)
+    model = MT3(cfg)
+    print(f'model: 46M flagship (d_model={cfg.d_model}, '
+          f'{cfg.num_encoder_layers}+{cfg.num_decoder_layers} layers, '
+          f'segmem {cfg.segmem_length})')
+
+    ds = SlakhDatasetWithPrevSegmem(
+        corpus_root, shuffle=False, is_deterministic=True,
+        is_randomize_tokens=False, num_rows_per_batch=3,
+        split_frame_length=256, event_length=256)
+    batch = collate_batch([ds[0], ds[1]])  # 6 segments, both songs
+    batch = bucket_targets(batch)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 512)),
+                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+                           targets_prev=jnp.zeros((1, 4), jnp.int32))
+    # warmup + cosine decay: a constant 8e-4 diverges on this model
+    # after ~5k steps (loss rebounds to ~2 and stays); decaying to
+    # ~2e-5 converges cleanly
+    optimizer = make_optimizer(1e-3, warmup_steps=1000, total_steps=20000,
+                               min_lr=0.01, use_schedule=True,
+                               weight_decay=0.0)
+    state = create_train_state(variables['params'], optimizer)
+    trainer = Trainer(model, optimizer, out_dir=os.path.join(tmp, 'run'),
+                      mesh=make_mesh(data=1, model=1))
+    step_fn = trainer.train_step
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    t0 = time.time()
+    loss = None
+    for i in range(20000):
+        state, metrics = step_fn(state, jb, trainer.rng)
+        if i % 1000 == 0:
+            loss = float(metrics['loss'])
+            print(f'  step {i} loss {loss:.4f} '
+                  f'({time.time() - t0:.0f}s)', flush=True)
+            if loss < 0.02:
+                break
+    loss = float(metrics['loss'])
+    steps = int(state.step)
+    train_s = time.time() - t0
+    print(f'trained {steps} steps to loss {loss:.4f} in {train_s:.0f}s')
+
+    trainer.save_checkpoint(state, 'final', with_opt_state=False)
+
+    # ---- decode sanity: free-running vs teacher tokens ----
+    from mr_mt3_tpu.infer import InferenceHandler
+    # max_length matches the training event_length: the memory rows the
+    # segmem encoder saw in training are 256 long, and an overfit model
+    # is brittle to longer padded memories (a real broadly-trained model
+    # is not — the reference trains AND evals at 1024)
+    handler = InferenceHandler(model=model, variables={'params': state.params},
+                               max_length=256, contiguous_inference=True,
+                               segment_bucket=1)
+    segs, _, valid = handler._audio_to_segments(audios[0])
+    mel0 = handler._compute_mel(segs, valid)
+    toks = handler._decode_all(mel0)
+    tgt = np.asarray(batch['targets'])
+    print('decoded row0 head:', toks[0, :14].tolist())
+    print('target  row0 head:', tgt[0, :13].tolist())
+
+    # ---- eval through the real product path ----
+    from mr_mt3_tpu.infer.scores import get_scores
+    from mr_mt3_tpu.scripts.merge_slakh_midi import merge_song_midis
+    for song in sorted(os.listdir(corpus_root)):
+        merge_song_midis(os.path.join(corpus_root, song))
+    import glob
+    files = sorted(glob.glob(os.path.join(corpus_root, '*', 'mix_16k.wav')))
+    midi_out = os.path.join(tmp, 'midis')
+    t1 = time.time()
+    scores = get_scores(
+        model=model, variables={'params': state.params},
+        eval_audio_dir=files, eval_dataset='Slakh',
+        exp_tag_name=midi_out, ground_truth_midi_dir=corpus_root,
+        contiguous_inference=True, max_length=256, verbose=False)
+    print(json.dumps({
+        'model': 'withprev_46m',
+        'train_steps': steps, 'final_loss': round(loss, 4),
+        'train_seconds': round(train_s, 1),
+        'eval_seconds': round(time.time() - t1, 1),
+        'onset_f1': round(scores.get('Onset F1', 0.0), 4),
+        'onset_midi_class_f1': round(
+            scores.get('Onset + program F1 (midi_class)',
+                       scores.get('Onset + program F1', 0.0)), 4),
+    }))
+
+    # ---- vanilla 46M control: no memory chain -> no exposure bias ----
+    from mr_mt3_tpu.data import SlakhDataset
+    vcfg = MT3Config(dtype='bfloat16', dropout_rate=0.0)
+    vmodel = MT3(vcfg)
+    vds = SlakhDataset(corpus_root, shuffle=False, is_deterministic=True,
+                       is_randomize_tokens=False, num_rows_per_batch=3,
+                       split_frame_length=256, event_length=256)
+    vbatch = bucket_targets(collate_batch([vds[0], vds[1]]))
+    vvars = vmodel.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 256, 512)),
+                        decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+    voptimizer = make_optimizer(1e-3, warmup_steps=1000, total_steps=20000,
+                                min_lr=0.01, use_schedule=True,
+                                weight_decay=0.0)
+    vstate = create_train_state(vvars['params'], voptimizer)
+    vtrainer = Trainer(vmodel, voptimizer,
+                       out_dir=os.path.join(tmp, 'vrun'),
+                       mesh=make_mesh(data=1, model=1))
+    vjb = {k: jnp.asarray(v) for k, v in vbatch.items()}
+    t2 = time.time()
+    for i in range(20000):
+        vstate, vmetrics = vtrainer.train_step(vstate, vjb, vtrainer.rng)
+        if i % 1000 == 0 and float(vmetrics['loss']) < 0.02:
+            break
+    vloss = float(vmetrics['loss'])
+    vscores = get_scores(
+        model=vmodel, variables={'params': vstate.params},
+        eval_audio_dir=files, eval_dataset='Slakh',
+        exp_tag_name=os.path.join(tmp, 'vmidis'),
+        ground_truth_midi_dir=corpus_root, max_length=256, verbose=False)
+    print(json.dumps({
+        'model': 'vanilla_46m_control',
+        'train_steps': int(vstate.step), 'final_loss': round(vloss, 4),
+        'train_seconds': round(time.time() - t2, 1),
+        'onset_f1': round(vscores.get('Onset F1', 0.0), 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()
