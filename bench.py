@@ -88,10 +88,13 @@ def main():
         headline = measure_vanilla(128, 'none', reps=8)
 
     # ---- first-class: the exact-numerics (parity-bearing) bf16 path ----
-    try:
-        bf16_b128 = measure_vanilla(128, 'none', reps=8)
-    except Exception:  # pragma: no cover
-        bf16_b128 = None
+    if mode.startswith('bf16'):
+        bf16_b128 = headline  # fallback already measured this config
+    else:
+        try:
+            bf16_b128 = measure_vanilla(128, 'none', reps=8)
+        except Exception:  # pragma: no cover
+            bf16_b128 = None
 
     # ---- flagship: segmem with-prev contiguous, multi-song lockstep ----
     songs, segs = 8, 8

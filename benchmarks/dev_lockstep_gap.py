@@ -46,8 +46,9 @@ def main():
     def measure_enc_len(lenc, label, reps=8, force_win=None):
         if force_win is not None:
             orig = fused_decode.FUSED_WINDOW
-            # t_win halving keys off FUSED_WINDOW; force by doubling
-            fused_decode.FUSED_WINDOW = force_win * 2 if lenc > 256 \
+            # t_win halving now keys off Lenc > 320 (fast_decode round
+            # 3); force by doubling only beyond that threshold
+            fused_decode.FUSED_WINDOW = force_win * 2 if lenc > 320 \
                 else force_win
 
         def fn(dp_, enc):
@@ -72,8 +73,9 @@ def main():
                 fused_decode.FUSED_WINDOW = orig
 
     measure_enc_len(256, 'A_vanilla_lenc256')
-    measure_enc_len(320, 'B_vanilla_lenc320_win16')
-    measure_enc_len(320, 'B2_vanilla_lenc320_win32', force_win=32)
+    # since round 3 the DEFAULT window at Lenc=320 is the full 32
+    measure_enc_len(320, 'B_vanilla_lenc320_win32_default')
+    measure_enc_len(320, 'B2_vanilla_lenc320_win16', force_win=16)
 
     scfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
                      segmem_length=64)

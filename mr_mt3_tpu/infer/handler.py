@@ -112,8 +112,12 @@ class InferenceHandler:
         self.mesh = mesh
         self.n_data = int(mesh.shape['data']) if mesh is not None else 1
         if mesh is not None:
-            # device-batch sizes must tile the data axis exactly
-            self.batch_size = _round_up(batch_size, self.n_data)
+            # NOTE: batch_size itself is never rounded — for segmem
+            # models it is the memory-CHAIN length (reference semantics:
+            # models/t5_segmem_v2.py:169-233), so changing it would alter
+            # tokens vs single-device. Divisibility by the data axis is
+            # handled per-path on the sharded axis (device batch, chain
+            # count, song count), which carries no semantics.
             from mr_mt3_tpu.parallel.mesh import replicate
             self.variables = jax.device_put(self.variables, replicate(mesh))
         self.spectrogram_config = SpectrogramConfig(
@@ -169,11 +173,12 @@ class InferenceHandler:
     # ---- device-side decode ----
 
     def _shard_jit(self, fn):
-        """jit `fn(variables, mel)`; with a mesh, shard_map it over 'data'
-        so each chip decodes its slice of the leading batch axis as a full
-        local program (KV-cache while_loop, Pallas kernels and all) with no
-        cross-chip communication. Callers pad leading dims to multiples of
-        the data-axis size."""
+        """jit `fn(variables, mel, valid_mask)`; with a mesh, shard_map it
+        over 'data' so each chip decodes its slice of the leading batch
+        axis as a full local program (KV-cache while_loop, Pallas kernels
+        and all) with no cross-chip communication. The valid mask shards
+        WITH the batch so each chip sees its own padding rows. Callers pad
+        leading dims to multiples of the data-axis size."""
         if self.mesh is None:
             return jax.jit(fn)
         from jax.sharding import PartitionSpec as P
@@ -181,18 +186,26 @@ class InferenceHandler:
         # replicated and become data-varying after the first update, which
         # the static vma checker rejects; the body has no collectives
         mapped = jax.shard_map(fn, mesh=self.mesh,
-                               in_specs=(P(), P('data')),
+                               in_specs=(P(), P('data'), P('data')),
                                out_specs=P('data'), check_vma=False)
         return jax.jit(mapped)
+
+    @staticmethod
+    def _mask(n_valid: int, total: int) -> jnp.ndarray:
+        """True for real rows, False for batch padding — padding rows
+        start decode finished so they never block the all-finished early
+        exit."""
+        return jnp.arange(total) < n_valid
 
     def _get_decode_fn(self):
         if self._decode_fn is None:
             model, max_length = self.model, self.max_length
             quantize = self.quantize
 
-            def fn(variables, mel):
+            def fn(variables, mel, valid_mask):
                 return greedy_decode(model, variables, mel, max_length,
-                                     quantize=quantize)
+                                     quantize=quantize,
+                                     valid_mask=valid_mask)
             self._decode_fn = self._shard_jit(fn)
         return self._decode_fn
 
@@ -208,11 +221,12 @@ class InferenceHandler:
             codec, vocab = self.codec, self.vocab
             quantize = self.quantize
 
-            def fn(variables, mel_segments):
+            def fn(variables, mel_segments, valid_mask):
                 return segmem_greedy_decode(model, variables, mel_segments,
                                             max_length,
                                             codec=codec, vocab=vocab,
-                                            quantize=quantize)
+                                            quantize=quantize,
+                                            valid_mask=valid_mask)
             setattr(self, attr, jax.jit(fn) if attr == '_segmem_fn_local'
                     else self._shard_jit(fn))
         return getattr(self, attr)
@@ -230,27 +244,35 @@ class InferenceHandler:
             mel_p = np.zeros((1, padded) + mel.shape[1:], mel.dtype)
             mel_p[0, :n] = mel
             fn = self._get_segmem_fn(local=True)
-            tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p)))[0]
+            tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p),
+                                   self._mask(1, 1)))[0]
             return tokens[:n]
         if self.cfg.segmem_variant == 'encoder_append':
             return self._decode_segmem_chained([mel])[0]
         # any batch size works in fused mode too: greedy_loop_fused
         # splits >8-row batches into groups-of-8 inside one trace
         # (aggregate throughput IMPROVES with batch — PERF.md), up to
-        # the 8-group / 64-row per-call compile ceiling
-        b = self.batch_size
+        # the 8-group / 64-row per-call compile ceiling. Under a mesh,
+        # batch_size is PER CHIP (like DDP's per-rank batch): each chip
+        # decodes batch_size rows, so chips scale throughput instead of
+        # splitting a fixed batch into idle slivers. Vanilla segments are
+        # independent — unlike the segmem chain paths, this grouping has
+        # no semantics.
+        b = self.batch_size * self.n_data
         if self.quantize == 'fused':
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
             b = min(b, 8 * FUSED_MAX_BATCH * self.n_data)
         outs = []
         for start in range(0, n, b):
             chunk = mel[start:start + b]
-            if chunk.shape[0] < b:
+            real = chunk.shape[0]
+            if real < b:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((b - chunk.shape[0],) + chunk.shape[1:],
+                    [chunk, np.zeros((b - real,) + chunk.shape[1:],
                                      chunk.dtype)])
             fn = self._get_decode_fn()
-            tokens = np.asarray(fn(self.variables, jnp.asarray(chunk)))
+            tokens = np.asarray(fn(self.variables, jnp.asarray(chunk),
+                                   self._mask(real, b)))
             outs.append(tokens)
         return np.concatenate(outs)[:n]
 
@@ -292,13 +314,16 @@ class InferenceHandler:
         for i, chunk in enumerate(all_chunks):
             stacked[i] = chunk
         fn = self._get_segmem_fn()
+        n_real = len(all_chunks)
         if stacked.shape[0] > group:
-            parts = [np.asarray(fn(self.variables,
-                                   jnp.asarray(stacked[s:s + group])))
-                     for s in range(0, stacked.shape[0], group)]
+            parts = [np.asarray(fn(
+                self.variables, jnp.asarray(stacked[s:s + group]),
+                self._mask(max(0, min(group, n_real - s)), group)))
+                for s in range(0, stacked.shape[0], group)]
             tokens = np.concatenate(parts)
         else:
-            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked),
+                                   self._mask(n_real, stacked.shape[0])))
         out = []
         for n, start, num_chunks in chains:
             flat = tokens[start:start + num_chunks].reshape(
@@ -381,6 +406,7 @@ class InferenceHandler:
                 from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
                 group = min(group, 8 * FUSED_MAX_BATCH * self.n_data)
             fn = self._get_segmem_fn()
+            n_songs = len(mels)
             if stacked.shape[0] > group:
                 padded_songs = _round_up(stacked.shape[0], group)
                 if padded_songs != stacked.shape[0]:
@@ -388,12 +414,15 @@ class InferenceHandler:
                         [stacked,
                          np.zeros((padded_songs - stacked.shape[0],)
                                   + stacked.shape[1:], stacked.dtype)])
-                parts = [np.asarray(fn(self.variables,
-                                       jnp.asarray(stacked[s:s + group])))
-                         for s in range(0, stacked.shape[0], group)]
+                parts = [np.asarray(fn(
+                    self.variables, jnp.asarray(stacked[s:s + group]),
+                    self._mask(max(0, min(group, n_songs - s)), group)))
+                    for s in range(0, stacked.shape[0], group)]
                 tokens = np.concatenate(parts)
             else:
-                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked)))
+                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked),
+                                       self._mask(n_songs,
+                                                  stacked.shape[0])))
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
         elif self.cfg.segmem_variant == 'encoder_append':

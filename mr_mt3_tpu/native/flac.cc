@@ -249,7 +249,11 @@ bool decode_flac(const uint8_t* data, size_t size, DecodedAudio* out) {
   if (info.total_samples) {
     uint64_t want = info.total_samples * info.channels;
     if (want > kMaxSamples) return false;
-    out->samples.reserve(want);
+    // reserve is only an optimization; a crafted STREAMINFO could claim
+    // ~2^28 samples in a 50-byte stream, so cap the UP-FRONT allocation
+    // (~64 MB) and let real decoded frames grow the vector beyond it —
+    // growth stays bounded by kMaxSamples above
+    out->samples.reserve(std::min<uint64_t>(want, 1ull << 24));
   }
 
   BitReader br{data, size};

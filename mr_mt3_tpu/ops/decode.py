@@ -34,7 +34,8 @@ from mr_mt3_tpu.ops.fast_decode import (
 
 def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
                  max_length: int,
-                 decoder_prefix_embeds: Optional[jnp.ndarray] = None
+                 decoder_prefix_embeds: Optional[jnp.ndarray] = None,
+                 valid_mask: Optional[jnp.ndarray] = None
                  ) -> jnp.ndarray:
     """Shared decode loop. encoder_out: (B, Lenc, D) -> tokens (B, max_length+1).
 
@@ -61,7 +62,8 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
                             cross_kv, method=MT3.prefill_cache)
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
-    finished = jnp.zeros((batch,), bool)
+    finished = (jnp.zeros((batch,), bool) if valid_mask is None
+                else jnp.logical_not(valid_mask))
 
     def body(state):
         i, tokens, cache, finished = state
@@ -100,7 +102,8 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
 def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   max_length: int = 1024,
                   use_fast: bool = True,
-                  quantize: str = 'none') -> jnp.ndarray:
+                  quantize: str = 'none',
+                  valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Vanilla MT3 transcription decode.
 
     mel: (B, frames, mel_bins) -> tokens (B, max_length + 1) with leading
@@ -129,10 +132,11 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
             variables['params'], model.cfg,
             quantize=quantize if quantize in ('int8', 'fused') else 'none')
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
-                                quantize=quantize)
+                                quantize=quantize, valid_mask=valid_mask)
     if quantize != 'none':
         raise ValueError('quantize is only supported with use_fast=True')
-    return _greedy_loop(model, variables, encoder_out, max_length)
+    return _greedy_loop(model, variables, encoder_out, max_length,
+                        valid_mask=valid_mask)
 
 
 def make_greedy_decode_fn(model: MT3, max_length: int = 1024):
@@ -177,7 +181,9 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                          max_length: int = 1024,
                          initial_memory: Optional[jnp.ndarray] = None,
                          codec=None, vocab=None,
-                         quantize: str = 'none') -> jnp.ndarray:
+                         quantize: str = 'none',
+                         valid_mask: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
     """Sequential segment-memory decode over one or more songs in lockstep.
 
     mel_segments: (B, S, frames, mel_bins) — S consecutive segments per song.
@@ -215,15 +221,18 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
         if cfg.segmem_variant == 'encoder_append':
             enc_aug = jnp.concatenate([enc_i, segmem], axis=1)
             tokens = greedy_loop_fast(cfg, dp, enc_aug, max_length,
-                                      quantize=quantize)
+                                      quantize=quantize,
+                                      valid_mask=valid_mask)
         elif cfg.segmem_variant == 'decoder_prepend':
             # v1: memory becomes a decoder-input prefix, prefilled into the
             # KV cache (reference: models/t5_segmem.py:207-236 generate_2)
             tokens = _greedy_loop(model, variables, enc_i, max_length,
-                                  decoder_prefix_embeds=segmem)
+                                  decoder_prefix_embeds=segmem,
+                                  valid_mask=valid_mask)
         else:
             tokens = greedy_loop_fast(cfg, dp, enc_i, max_length,
-                                      quantize=quantize)
+                                      quantize=quantize,
+                                      valid_mask=valid_mask)
         # next memory = this segment's tokens incl. start id, cropped to
         # max_length (reference pads/crops to max_length)
         mem_next = tokens[:, :max_length]

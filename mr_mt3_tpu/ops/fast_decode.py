@@ -344,7 +344,8 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                      encoder_out: jnp.ndarray, max_length: int,
                      phases=DEFAULT_PHASES,
                      kv_layout: str = 'bhdk',
-                     quantize: str = 'none') -> jnp.ndarray:
+                     quantize: str = 'none',
+                     valid_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Phase-chunked greedy decode; returns tokens (B, max_length + 1).
 
     Defaults measured on one v5e chip at B=8 bf16, full 1024 steps:
@@ -355,6 +356,10 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     minor in the KV cache so the (Dk, seq) tail tiles the TPU HBM layout
     exactly (the legacy 'bkhd' layout pads the (H=6, Dk=64) tail ~5x:
     B=64 decode measured 3.30 -> 1.89 s after the switch).
+
+    valid_mask (B,) bool: rows marked False (batch padding) start
+    finished, emitting pads — without it a padding row that never emits
+    EOS blocks the all-finished early exit for its whole batch.
     """
     batch = encoder_out.shape[0]
     int8_kv = quantize == 'int8_kv'
@@ -363,7 +368,8 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
         raise ValueError("quantize='int8_kv' requires kv_layout='bhdk' "
                          '(per-position scales quantize over the Dk axis)')
     if fused:
-        return greedy_loop_fused(cfg, dp, encoder_out, max_length)
+        return greedy_loop_fused(cfg, dp, encoder_out, max_length,
+                                 valid_mask=valid_mask)
     cross_kv = precompute_cross_kv_stacked(dp, cfg, encoder_out,
                                            kv_layout=kv_layout)
     if int8_kv:
@@ -375,7 +381,8 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                                      kv_layout=kv_layout))
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
-    finished = jnp.zeros((batch,), bool)
+    finished = (jnp.zeros((batch,), bool) if valid_mask is None
+                else jnp.logical_not(valid_mask))
     seq_axis = 4 if (kv_layout == 'bhdk' or int8_kv) else 2
 
     def body(state):
@@ -414,7 +421,8 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
 def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
                       encoder_out: jnp.ndarray,
                       max_length: int,
-                      n_valid: int = None) -> jnp.ndarray:
+                      n_valid: int = None,
+                      valid_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Greedy decode through the whole-decoder megakernel.
 
     The while-loop body is ONE pallas invocation decoding FUSED_WINDOW
@@ -437,9 +445,12 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     # and slice the result
     pad_rows = -batch % 8
     if pad_rows:
+        mask = (jnp.ones((batch,), bool) if valid_mask is None
+                else valid_mask)
         out = greedy_loop_fused(
             cfg, dp, jnp.pad(encoder_out, ((0, pad_rows), (0, 0), (0, 0))),
-            max_length, n_valid=batch)
+            max_length,
+            valid_mask=jnp.pad(mask, (0, pad_rows)))
         return out[:batch]
     if batch > FUSED_MAX_BATCH:
         # larger batches run as groups-of-8 UNROLLED IN ONE TRACE: a
@@ -457,13 +468,13 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
             raise ValueError(
                 f"quantize='fused' supports at most "
                 f'{8 * FUSED_MAX_BATCH} rows per call (got {batch})')
-        if n_valid is None:
-            n_valid = batch
+        mask = (jnp.ones((batch,), bool) if valid_mask is None
+                else valid_mask)
         outs = []
         for s in range(0, batch, FUSED_MAX_BATCH):
             outs.append(greedy_loop_fused(
                 cfg, dp, encoder_out[s:s + FUSED_MAX_BATCH], max_length,
-                n_valid=max(0, min(FUSED_MAX_BATCH, n_valid - s))))
+                valid_mask=mask[s:s + FUSED_MAX_BATCH]))
         return jnp.concatenate(outs)
 
     # very long encoders halve the window to shrink the persistent wk/wv
@@ -501,6 +512,8 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     # them finished from the start keeps the all-finished early exit live
     finished = (jnp.zeros((batch,), bool) if n_valid is None
                 else jnp.arange(batch) >= n_valid)
+    if valid_mask is not None:
+        finished = finished | jnp.logical_not(valid_mask)
 
     def body(state):
         i, tokens, cache, finished = state

@@ -148,11 +148,20 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             handler._segmem_fn_local = None
         info['quantize'] = handler.quantize
     if prewarm:
+        import numpy as np
+
+        from mr_mt3_tpu.infer import InferenceHandler
         t0 = time.monotonic()
-        # runs the handler's own jitted fn at the serving batch shape
-        # (_decode_all pads every chunk to batch_size, so this is the
-        # exact program requests will hit)
-        handler._decode_all(_probe_mel(handler))
+        # warm through transcribe_many — the path EVERY request takes
+        # (serve's MicroBatcher always calls it), so the compiled program
+        # shapes match real traffic, including the sharded contiguous fn
+        # under a mesh (the single-song _decode_all would compile the
+        # unsharded local program instead)
+        sr = InferenceHandler.SAMPLE_RATE
+        t = np.arange(2 * 256 * 128, dtype=np.float32) / sr
+        probe_audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)).astype(
+            np.float32)
+        handler.transcribe_many([probe_audio])
         info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
         info['prewarmed'] = True
     print(f'serving decode path: quantize={handler.quantize!r} '

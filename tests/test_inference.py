@@ -346,15 +346,31 @@ class TestMeshHandler:
 
     def test_vanilla_handler_tokens_identical(self):
         local, sharded = self._vanilla_pair()
-        assert sharded.batch_size == 4  # already tiles the 4-chip axis
         mel = np.random.default_rng(1).normal(
             size=(10, 256, 512)).astype(np.float32)
         np.testing.assert_array_equal(local._decode_all(mel),
                                       sharded._decode_all(mel))
 
-    def test_batch_size_rounds_up_to_data_axis(self):
+    def test_batch_size_is_per_chip_and_never_rounded(self):
+        """batch_size is a semantic quantity (the segmem chain length);
+        a mesh must not alter it — the device batch scales as
+        batch_size * n_data instead."""
         _, sharded = self._vanilla_pair(batch_size=6, mesh_data=4)
-        assert sharded.batch_size == 8
+        assert sharded.batch_size == 6
+
+    def test_segmem_chain_length_indivisible_by_mesh(self):
+        """Chain length (batch_size) NOT divisible by the data axis must
+        still produce tokens identical to single-device — the round-3
+        regression this pins: rounding batch_size up regrouped which
+        segments share memory."""
+        from mr_mt3_tpu.parallel import make_mesh
+        mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        local = _segmem_handler(max_length=8, batch_size=3)
+        sharded = _segmem_handler(max_length=8, batch_size=3, mesh=mesh)
+        mel = np.random.default_rng(6).normal(
+            size=(7, 256, 512)).astype(np.float32) * 0.5
+        np.testing.assert_array_equal(local._decode_all(mel),
+                                      sharded._decode_all(mel))
 
     def test_transcribe_matches(self):
         local, sharded = self._vanilla_pair()

@@ -25,6 +25,14 @@ def main(argv=None):
     cfg = load_config(config_dir or os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'configs'), config_name, overrides)
 
+    from mr_mt3_tpu.utils.profiling import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+    # before any backend-initializing call (the multihost branch below
+    # touches jax.process_index) — the axon plugin ignores the env var
+    honor_platform_env()
+
     if bool(cfg.get('multihost')):
         # multi-process DCN training (one process per host): all hosts see
         # the global device set and the ('data','model') mesh spans the
@@ -36,11 +44,6 @@ def main(argv=None):
         print(f'multihost: process {jax.process_index()}/'
               f'{jax.process_count()}, {jax.device_count()} global devices')
 
-    from mr_mt3_tpu.utils.profiling import (
-        enable_compilation_cache,
-        honor_platform_env,
-    )
-    honor_platform_env()
     enable_compilation_cache()
 
     from mr_mt3_tpu.data import DataLoader
