@@ -1,0 +1,71 @@
+"""Quantized-decode safety probe.
+
+The megakernel's zero-flip evidence is from the overfit parity model
+(PERF.md); a real checkpoint with near-uniform logits can flip tokens —
+and F1 — silently (measured: 413/3075 flips on random 46M weights). This
+probe decodes a deterministic music-like batch through a handler's
+quantized path AND an exact-bf16 twin and counts token flips, so callers
+(serve.py startup, eval's quantize='auto') can fall back before trusting
+quantized numerics on the actual weights being served.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
+    """Deterministic synthetic probe batch: a chord + percussion-ish
+    noise bursts, so logits are exercised on music-like (not silent)
+    input. Returns mel (num_segments, 256, 512)."""
+    sr = handler.SAMPLE_RATE
+    n = num_segments * 256 * 128
+    t = np.arange(n, dtype=np.float32) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)      # C4
+             + 0.2 * np.sin(2 * np.pi * 329.63 * t)    # E4
+             + 0.15 * np.sin(2 * np.pi * 392.0 * t))   # G4
+    burst = (np.arange(n) % (sr // 2)) < 800           # 2 Hz clicks
+    audio = audio + 0.3 * burst * np.sin(2 * np.pi * 1200 * t)
+    segments, _, valid = handler._audio_to_segments(
+        audio.astype(np.float32))
+    return handler._compute_mel(segments, valid)
+
+
+def quantize_probe(handler):
+    """Decode the probe batch through the handler's quantized path AND an
+    exact-bf16 twin; return (flipped_tokens, total_tokens)."""
+    from mr_mt3_tpu.infer.handler import InferenceHandler
+    mel = probe_mel(handler)
+    quant = handler._decode_all(mel)
+    exact_twin = InferenceHandler(
+        model=handler.model, variables=handler.variables,
+        mel_norm=handler.mel_norm,
+        contiguous_inference=handler.contiguous_inference,
+        batch_size=handler.batch_size, max_length=handler.max_length,
+        segment_bucket=handler.segment_bucket, quantize='none',
+        mesh=handler.mesh)
+    exact = exact_twin._decode_all(mel)
+    return int(np.sum(quant != exact)), int(quant.size)
+
+
+def resolve_auto_quantize(handler, verbose: bool = True) -> dict:
+    """Probe-guard a handler whose quantize mode is set: any token flip
+    demotes it to exact bf16 in place. Returns an info dict
+    {quantize, probe_flips, probe_tokens}."""
+    info = {'quantize': handler.quantize}
+    if handler.quantize == 'none':
+        return info
+    flips, total = quantize_probe(handler)
+    info['probe_flips'] = flips
+    info['probe_tokens'] = total
+    if flips:
+        if verbose:
+            print(f'quantize={handler.quantize!r} flipped {flips}/{total} '
+                  'probe tokens vs exact bf16; falling back to exact '
+                  'numerics')
+        handler.quantize = 'none'
+        handler._decode_fn = None
+        handler._segmem_fn = None
+        handler._segmem_fn_local = None
+    info['quantize'] = handler.quantize
+    return info

@@ -54,7 +54,18 @@ def get_scores(
     mesh: optional ('data', 'model') jax mesh — decode batches shard over
     the data axis so a v5e-8 eval run drives all 8 chips (the reference
     evaluates on rank 0 only: tasks/mt3_base.py:27).
+
+    quantize='auto': the megakernel (1.5x decode throughput at B=64 —
+    PERF.md) guarded by a startup probe on the actual weights; any
+    probe-token flip vs exact bf16 falls back to exact numerics, keeping
+    the within-0.001-F1 bar.
     """
+    if quantize == 'auto':
+        import jax
+        quantize = 'fused' if jax.default_backend() == 'tpu' else 'none'
+        probe_guard = quantize != 'none'
+    else:
+        probe_guard = False
     if handler is None:
         handler = InferenceHandler(
             model=model, variables=variables, mel_norm=mel_norm,
@@ -62,6 +73,12 @@ def get_scores(
             filterbank_style='tf' if use_tf_spectral_ops else 'torch',
             batch_size=batch_size, max_length=max_length,
             quantize=quantize, mesh=mesh)
+    if probe_guard:
+        from mr_mt3_tpu.infer.probe import resolve_auto_quantize
+        info = resolve_auto_quantize(handler, verbose=verbose)
+        if verbose:
+            print(f'eval decode path: quantize={info["quantize"]!r} '
+                  f'(probe flips: {info.get("probe_flips", 0)})')
     if handler.mesh is not None:
         # in lockstep (contiguous) mode each chip carries whole songs;
         # fewer songs per batch than chips would idle the surplus

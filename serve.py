@@ -78,48 +78,15 @@ def build_handler(argv):
         mesh=mesh)
 
 
-def _probe_mel(handler, num_segments: int = 2):
-    """Deterministic synthetic probe batch: a chord + percussion-ish
-    noise bursts, so logits are exercised on music-like (not silent)
-    input. Returns mel (num_segments, 256, 512)."""
-    import numpy as np
-
-    from mr_mt3_tpu.infer import InferenceHandler
-    sr = InferenceHandler.SAMPLE_RATE
-    n = num_segments * 256 * 128
-    t = np.arange(n, dtype=np.float32) / sr
-    audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)      # C4
-             + 0.2 * np.sin(2 * np.pi * 329.63 * t)    # E4
-             + 0.15 * np.sin(2 * np.pi * 392.0 * t))   # G4
-    burst = (np.arange(n) % (sr // 2)) < 800           # 2 Hz clicks
-    audio = audio + 0.3 * burst * np.sin(2 * np.pi * 1200 * t)
-    segments, _, valid = handler._audio_to_segments(
-        audio.astype(np.float32))
-    return handler._compute_mel(segments, valid)
-
-
 def quantize_probe(handler):
-    """Decode the probe batch through the handler's quantized path AND an
+    """Decode a probe batch through the handler's quantized path AND an
     exact-bf16 twin; return (flipped_tokens, total_tokens).
 
-    The megakernel's zero-flip evidence is from the overfit parity model
-    (PERF.md); a real checkpoint with near-uniform logits could flip
-    tokens — and F1 — silently. This measures it on the ACTUAL weights
-    being served."""
-    import numpy as np
-
-    from mr_mt3_tpu.infer import InferenceHandler
-    mel = _probe_mel(handler)
-    quant = handler._decode_all(mel)
-    exact_twin = InferenceHandler(
-        model=handler.model, variables=handler.variables,
-        mel_norm=handler.mel_norm,
-        contiguous_inference=handler.contiguous_inference,
-        batch_size=handler.batch_size, max_length=handler.max_length,
-        segment_bucket=handler.segment_bucket, quantize='none',
-        mesh=handler.mesh)
-    exact = exact_twin._decode_all(mel)
-    return int(np.sum(quant != exact)), int(quant.size)
+    Library home: mr_mt3_tpu.infer.probe (shared with eval's
+    quantize='auto'); re-exported here so tests/operators can
+    monkeypatch the serving entry point."""
+    from mr_mt3_tpu.infer.probe import quantize_probe as _probe
+    return _probe(handler)
 
 
 def prepare_handler(handler, probe: bool = True, prewarm: bool = True):

@@ -81,7 +81,8 @@ def main(argv=None):
         max_length=int(cfg.eval.get('max_length') or 1024),
         songs_per_batch=int(cfg.eval.get('songs_per_batch') or 4),
         # eval.quantize=fused opts eval into the whole-decoder megakernel
-        # (3x decode speed; zero parity-model token flips — PERF.md)
+        # (1.5x decode throughput — PERF.md); eval.quantize=auto adds the
+        # startup probe that falls back to exact bf16 on any token flip
         quantize=str(cfg.eval.get('quantize') or 'none'),
         mesh=mesh,
     )

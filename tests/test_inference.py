@@ -421,6 +421,66 @@ class TestMeshHandler:
                    [(n.pitch, n.start_time) for n in b.notes]
 
 
+class TestAutoQuantize:
+    def _handler(self, quantize='fused'):
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        return InferenceHandler(model=model, variables=variables,
+                                max_length=12, batch_size=4,
+                                quantize=quantize)
+
+    def test_resolve_auto_falls_back_on_flip(self, monkeypatch):
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+        monkeypatch.setattr(probe_mod, 'quantize_probe',
+                            lambda h: (2, 50))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'none'
+        assert info == {'quantize': 'none', 'probe_flips': 2,
+                        'probe_tokens': 50}
+
+    def test_resolve_auto_keeps_clean_path(self, monkeypatch):
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+        monkeypatch.setattr(probe_mod, 'quantize_probe',
+                            lambda h: (0, 50))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'fused'
+        assert info['probe_flips'] == 0
+
+    def test_get_scores_auto_resolves_to_none_off_tpu(self, tmp_path):
+        """quantize='auto' on the CPU backend uses exact bf16 without
+        probing (the megakernel would run interpreted off-TPU)."""
+        from mr_mt3_tpu.audio import write_wav
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.infer.scores import get_scores
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        wav = tmp_path / 'clip.wav'
+        rng = np.random.default_rng(0)
+        write_wav(wav, (rng.normal(size=16000 * 2) * 0.05
+                        ).astype(np.float32), 16000)
+        ns = nsq.NoteSequence()
+        ns.add_note(start_time=0.1, end_time=0.5, pitch=60, velocity=100,
+                    program=0, is_drum=False, instrument=0)
+        ns.total_time = 2.0
+        note_sequence_to_midi_file(ns, tmp_path / 'clip.mid')
+        scores = get_scores(
+            model=model, variables=variables,
+            eval_audio_dir=[str(wav)], eval_dataset='NSynth',
+            exp_tag_name=str(tmp_path / 'out'),
+            ground_truth_midi_dir=str(tmp_path),
+            max_length=8, quantize='auto', verbose=False)
+        assert 'Onset F1' in scores
+
+
 class TestDataParallelDecode:
     def test_sharded_batch_decode(self):
         """Greedy decode with the batch sharded over a data mesh (the
