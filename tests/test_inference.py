@@ -394,6 +394,29 @@ class TestMeshHandler:
         np.testing.assert_array_equal(local._decode_all(mel),
                                       sharded._decode_all(mel))
 
+    def test_fused_under_mesh_matches_local_fused(self):
+        """The v5e-8 production serving config: megakernel decode with
+        the batch sharded over the data axis (each chip runs the full
+        Pallas program on its slice). Must match the unsharded fused
+        path token-for-token (interpret-mode kernels on the CPU mesh)."""
+        from mr_mt3_tpu.parallel import make_mesh
+        small = SMALL.replace(d_model=32, num_heads=4, d_kv=8, d_ff=48)
+        model = MT3(small)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+        kw = dict(model=model, variables=variables, max_length=8,
+                  batch_size=2, quantize='fused')
+        local = InferenceHandler(**kw)
+        sharded = InferenceHandler(mesh=mesh, **kw)
+        mel = np.random.default_rng(5).normal(
+            size=(4, 256, 512)).astype(np.float32)
+        # sharded b = batch_size * n_data = 4 -> one call, 2 rows/chip
+        np.testing.assert_array_equal(local._decode_all(mel),
+                                      sharded._decode_all(mel))
+
     def test_contiguous_lockstep_songs_match(self):
         from mr_mt3_tpu.parallel import make_mesh
         mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
