@@ -422,7 +422,8 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
                       encoder_out: jnp.ndarray,
                       max_length: int,
                       n_valid: int = None,
-                      valid_mask: jnp.ndarray = None) -> jnp.ndarray:
+                      valid_mask: jnp.ndarray = None,
+                      _grouped: bool = False) -> jnp.ndarray:
     """Greedy decode through the whole-decoder megakernel.
 
     The while-loop body is ONE pallas invocation decoding FUSED_WINDOW
@@ -474,7 +475,7 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         for s in range(0, batch, FUSED_MAX_BATCH):
             outs.append(greedy_loop_fused(
                 cfg, dp, encoder_out[s:s + FUSED_MAX_BATCH], max_length,
-                valid_mask=mask[s:s + FUSED_MAX_BATCH]))
+                valid_mask=mask[s:s + FUSED_MAX_BATCH], _grouped=True))
         return jnp.concatenate(outs)
 
     # very long encoders halve the window to shrink the persistent wk/wv
@@ -497,7 +498,11 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     # the CACHE length must be whole kernel chunks; the loop bound need
     # not be — decouple them so any max_length works (the kernel masks
     # cache columns >= position, so an over-long cache only costs padding)
-    chunk_base = chunk_base_for(encoder_out.shape[1])
+    # single-group (standalone <=8-row) programs double the cache chunk
+    # to 512: 145.6 -> 159.0 RTF at B=8; grouped programs keep 256 (8
+    # unrolled bigger-VMEM kernels fail remote compile — PERF.md)
+    chunk_base = chunk_base_for(encoder_out.shape[1],
+                                single_group=not _grouped)
 
     def cache_len_for(bound):
         if bound <= chunk_base:
@@ -520,7 +525,7 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         cur = jax.lax.dynamic_slice(tokens, (0, i), (batch, 1))[:, 0]
         toks_w, finished, cache = fused_decode_window(
             cfg, dp.fused, dp, cur, finished, i, cache, cross_kv,
-            t_window=t_win)
+            t_window=t_win, chunk_base=chunk_base)
         tokens = jax.lax.dynamic_update_slice(tokens, toks_w, (0, i + 1))
         return i + t_win, tokens, cache, finished
 

@@ -291,12 +291,19 @@ def _math_helpers(cfg: MT3Config, batch: int):
             gather_heads, merge_hb, quantize_rows)
 
 
-def chunk_base_for(lenc: int) -> int:
+def chunk_base_for(lenc: int, single_group: bool = False) -> int:
     """Streamed cache chunk for a given encoder length.
 
     Longer encoders (segmem appends memory: Lenc=320) grow the resident
-    cross-KV blocks; halve the chunk to stay under VMEM."""
-    return CHUNK if lenc <= 256 else CHUNK // 2
+    cross-KV blocks; halve the chunk to stay under VMEM. single_group
+    (a call of <= FUSED_MAX_BATCH rows that is NOT one of several
+    unrolled groups) DOUBLES the chunk to 512: half the grid iterations,
+    measured 145.6 -> 159.0 RTF at B=8 on v5e — but 8 unrolled copies of
+    the bigger-VMEM kernel fail remote compile, so grouped calls keep
+    256 (PERF.md)."""
+    if lenc > 256:
+        return CHUNK // 2
+    return CHUNK * 2 if single_group else CHUNK
 
 
 def _layer_ops(cfg: MT3Config, batch: int):
@@ -686,7 +693,8 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
                         position, cache: Dict[str, jnp.ndarray],
                         cross: Dict[str, jnp.ndarray],
                         t_window: int = FUSED_WINDOW,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        chunk_base: int = None):
     """Decode t_window greedy steps in ONE megakernel invocation.
 
     tokens (B,) int32: input token of the first step (position `position`);
@@ -698,7 +706,8 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
     hb = heads * batch
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
-    chunk = min(chunk_base_for(lenc), max_len)
+    chunk = min(chunk_base if chunk_base else chunk_base_for(lenc),
+                max_len)
     if max_len % chunk:
         raise ValueError(f'fused cache length {max_len} must be a multiple '
                          f'of {chunk}')
