@@ -48,24 +48,43 @@ def quantize_probe(handler):
     return int(np.sum(quant != exact)), int(quant.size)
 
 
-def resolve_auto_quantize(handler, verbose: bool = True) -> dict:
-    """Probe-guard a handler whose quantize mode is set: any token flip
-    demotes it to exact bf16 in place. Returns an info dict
-    {quantize, probe_flips, probe_tokens}."""
+def resolve_auto_quantize(handler, verbose: bool = True,
+                          probe_fn=None) -> dict:
+    """Probe-guard a handler whose quantize mode is set: any token flip —
+    or any probe failure (e.g. a decoder_prepend model, which the fused
+    path does not support) — demotes it to exact bf16 in place. Returns
+    an info dict {quantize, probe_flips, probe_tokens[, probe_error]}.
+
+    probe_fn: override for the probe (serve.py passes its own
+    monkeypatchable entry point)."""
     info = {'quantize': handler.quantize}
     if handler.quantize == 'none':
         return info
-    flips, total = quantize_probe(handler)
-    info['probe_flips'] = flips
-    info['probe_tokens'] = total
-    if flips:
+
+    def demote(reason: str):
         if verbose:
-            print(f'quantize={handler.quantize!r} flipped {flips}/{total} '
-                  'probe tokens vs exact bf16; falling back to exact '
-                  'numerics')
+            print(f'quantize={handler.quantize!r} demoted to exact '
+                  f'numerics: {reason}')
         handler.quantize = 'none'
         handler._decode_fn = None
         handler._segmem_fn = None
         handler._segmem_fn_local = None
+
+    if handler.cfg.segmem_variant == 'decoder_prepend':
+        # fused decode does not support the v1 decoder-prepend prefill
+        demote('decoder_prepend models have no quantized decode path')
+        info['quantize'] = handler.quantize
+        return info
+    try:
+        flips, total = (probe_fn or quantize_probe)(handler)
+    except Exception as e:  # the guard must never crash the caller
+        info['probe_error'] = repr(e)[:200]
+        demote(f'probe failed ({e!r})')
+        info['quantize'] = handler.quantize
+        return info
+    info['probe_flips'] = flips
+    info['probe_tokens'] = total
+    if flips:
+        demote(f'{flips}/{total} probe tokens flipped vs exact bf16')
     info['quantize'] = handler.quantize
     return info

@@ -55,14 +55,21 @@ def build_handler(argv):
         variables = {'params': builders.init_params(model)}
         mel_norm = True
 
-    # the whole-decoder megakernel is the serving default on TPU: 3x lower
-    # decode latency than the bf16 path at serving batch sizes, zero token
-    # flips on the parity model (PERF.md). eval.quantize=none opts back
-    # into exact bf16 numerics. (On CPU the kernel would run interpreted —
-    # keep the XLA path there.) prepare_handler() guards the default: any
-    # probe-token flip vs exact bf16 falls back before traffic is served.
+    # the whole-decoder megakernel is the serving default on TPU (~1.3x
+    # the bf16 path at the serving batch, 1.5x at the grouped eval batch
+    # — PERF.md; zero token flips on the parity model).
+    # eval.quantize=none opts back into exact bf16 numerics. (On CPU the
+    # kernel would run interpreted — keep the XLA path there.)
+    # prepare_handler() guards the default: any probe-token flip vs
+    # exact bf16 falls back before traffic is served.
     import jax
-    default_quantize = 'fused' if jax.default_backend() == 'tpu' else 'none'
+    on_tpu = jax.default_backend() == 'tpu'
+    quantize = str(cfg.eval.get('quantize')
+                   or ('fused' if on_tpu else 'none'))
+    if quantize == 'auto':
+        # same resolution as eval (infer/scores.py): megakernel on TPU,
+        # guarded by prepare_handler's probe; exact bf16 elsewhere
+        quantize = 'fused' if on_tpu else 'none'
     # multi-chip serving: shard decode batches over every visible chip
     # (devices: <n> limits the data axis, like train.py/test.py)
     n_dev = int(cfg.get('devices') or len(jax.devices()))
@@ -74,7 +81,7 @@ def build_handler(argv):
         model=model, variables=variables, mel_norm=mel_norm,
         contiguous_inference=bool(cfg.eval.get('contiguous_inference')),
         batch_size=int(cfg.eval.get('batch_size') or 8),
-        quantize=str(cfg.eval.get('quantize') or default_quantize),
+        quantize=quantize,
         mesh=mesh)
 
 
@@ -93,27 +100,29 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
     """Pre-traffic safety + latency work; returns an info dict for /healthz.
 
     1. quantize guard: with a quantized decode path, decode a probe batch
-       quantized AND exact; ANY token flip falls back to exact bf16 with a
-       logged warning (the within-0.001-F1 bar beats 3x decode speed).
+       quantized AND exact; ANY token flip (or probe failure) falls back
+       to exact bf16 with a logged warning (the within-0.001-F1 bar
+       beats quantized decode speed). The demotion policy lives in
+       mr_mt3_tpu.infer.probe.resolve_auto_quantize (shared with eval's
+       quantize='auto'); serve.quantize_probe stays the monkeypatchable
+       probing entry point.
     2. prewarm: compile-and-run the serving decode program so the first
        request does not pay the 100-320 s program startup (PERF.md).
     """
     info = {'quantize': handler.quantize, 'prewarmed': False}
     if probe and handler.quantize != 'none':
+        from mr_mt3_tpu.infer.probe import resolve_auto_quantize
         t0 = time.monotonic()
-        flips, total = quantize_probe(handler)
-        info['probe_flips'] = flips
-        info['probe_tokens'] = total
+        before = handler.quantize
+        info.update(resolve_auto_quantize(
+            handler, verbose=False,
+            probe_fn=lambda h: quantize_probe(h)))
         info['probe_seconds'] = round(time.monotonic() - t0, 1)
-        if flips:
-            print(f'WARNING: quantize={handler.quantize!r} flipped '
-                  f'{flips}/{total} probe tokens vs exact bf16; serving '
-                  'falls back to exact numerics', file=sys.stderr)
-            handler.quantize = 'none'
-            handler._decode_fn = None
-            handler._segmem_fn = None
-            handler._segmem_fn_local = None
-        info['quantize'] = handler.quantize
+        if handler.quantize != before:
+            print(f'WARNING: quantize={before!r} demoted to exact bf16 '
+                  f'numerics for serving '
+                  f'(flips={info.get("probe_flips")}, '
+                  f'error={info.get("probe_error")})', file=sys.stderr)
     if prewarm:
         import numpy as np
 

@@ -474,6 +474,48 @@ class TestAutoQuantize:
         assert handler.quantize == 'fused'
         assert info['probe_flips'] == 0
 
+    def test_decoder_prepend_demoted_without_probe(self):
+        """v1 (decoder_prepend) has no quantized decode path; 'auto'
+        must demote to exact numerics instead of crashing the probe."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        cfg = SMALL.replace(segmem_variant='decoder_prepend',
+                            segmem_length=8, segmem_seed='eos')
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, quantize='fused')
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'none'
+        assert 'probe_flips' not in info  # demoted before probing
+
+    def test_probe_failure_demotes(self, monkeypatch):
+        """Any probe exception falls back to exact numerics — the guard
+        must never crash the caller."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+
+        def boom(h):
+            raise RuntimeError('compile failed')
+        monkeypatch.setattr(probe_mod, 'quantize_probe', boom)
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'none'
+        assert 'compile failed' in info['probe_error']
+
+    def test_serve_build_handler_accepts_auto(self):
+        """eval.quantize=auto through serve.py resolves like eval does
+        (exact bf16 off-TPU) instead of crashing at the first decode."""
+        import serve
+        handler = serve.build_handler(
+            ['model=MT3Net', 'model.config.num_layers=1',
+             'model.config.d_model=32', 'model.config.d_ff=48',
+             'model.config.num_heads=2', 'model.config.d_kv=16',
+             '+eval.quantize=auto', 'devices=1'])
+        assert handler.quantize == 'none'
+
     def test_get_scores_auto_resolves_to_none_off_tpu(self, tmp_path):
         """quantize='auto' on the CPU backend uses exact bf16 without
         probing (the megakernel would run interpreted off-TPU)."""
