@@ -1,6 +1,21 @@
 #!/bin/bash
 # Evaluation-command catalog (mirrors reference test.sh).
 
+#  ======= evaluate the MT3 baseline (long-run config) ======= #
+#  (the reference's FIRST eval command — reference test.sh:4; it points
+#  path= at the official checkpoint via Hydra's chdir'd relative path,
+#  here the plain repo path)
+python test.py \
+    --config-name="config_slakh_f1_0.65" \
+    model="MT3Net" \
+    path="pretrained/mt3.pth" \
+    eval.eval_dataset="Slakh" \
+    'eval.audio_dir=/data/slakh2100_flac_redux/test/*/mix_16k.wav' \
+    eval.midi_dir="/data/slakh2100_flac_redux/test/" \
+    eval.exp_tag_name="outputs/slakh_test_baseline" \
+    +eval.load_weights_strict=False \
+    eval.use_tf_spectral_ops=true
+
 #  ======= evaluate on Slakh test split ======= #
 python test.py \
     --config-name="config_slakh_segmem" \

@@ -5,6 +5,13 @@
 #   python -m mr_mt3_tpu.scripts.generate_inst_names /data/slakh2100_flac_redux/{train,validation,test}
 #   python -m mr_mt3_tpu.scripts.merge_slakh_midi /data/slakh2100_flac_redux/test
 
+#  ======= train MT3 baseline, long-run config ======= #
+#  (the reference's FIRST launch command — reference train.sh:5)
+python train.py \
+    --config-name="config_slakh_f1_0.65" \
+    model="MT3Net" \
+    dataset="Slakh"
+
 #  ======= train MT3 baseline ======= #
 python train.py \
     model="MT3Net" \
