@@ -93,8 +93,11 @@ FUSED_MAX_BATCH = 8
 # attention contraction lowering: 'mxu' quantizes q/probs per row and runs
 # (HB)-batched int8 MXU dots (ops/int8_attention.py math); 'vpu' dequantizes
 # K/V in-register and multiply-reduces on the VPU (exact, no q/prob
-# quantization). Both compile; measured within noise of each other on v5e
-# (~0.29 vs ~0.33 ms/step at B=8, shared-tunnel variance ~15%).
+# quantization). Early (round-2) per-step kernels measured them within
+# tunnel noise; after the window kernel + 512-chunk work shrank the other
+# overheads, the difference is decisive: mxu 163/187 RTF vs vpu 121/122
+# at B=8/B=64 (round 3) — the VPU multiply-reduce is now the bottleneck
+# it was hiding behind.
 ATTN_IMPL = 'mxu'
 
 
