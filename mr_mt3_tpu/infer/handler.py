@@ -48,6 +48,15 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pow2_bucket(n: int) -> int:
+    """Next power of two >= n. Variable chain/song counts each compile a
+    distinct program (~100 s server-side startup per shape on this
+    platform); pow2 bucketing bounds the shapes at log2(cap), and the
+    valid-mask makes the padding rows free (they start decode finished,
+    adding zero loop steps)."""
+    return 1 << max(0, int(n - 1).bit_length())
+
+
 class InferenceHandler:
     """Audio -> MIDI transcription.
 
@@ -299,10 +308,12 @@ class InferenceHandler:
             mel_p[:n] = mel
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
-        # shape bucketing; with a mesh the chain axis also tiles 'data'.
-        # Fused mode groups chains in-trace up to its 64-row per-call
-        # compile ceiling; beyond that, fixed 64-chain device calls.
-        padded_chains = _round_up(_round_up(len(all_chunks), 4), self.n_data)
+        # pow2 shape bucketing (see _pow2_bucket); with a mesh the chain
+        # axis also tiles 'data'. Fused mode groups chains in-trace up to
+        # its 64-row per-call compile ceiling; beyond that, fixed
+        # 64-chain device calls.
+        padded_chains = _round_up(
+            max(4, _pow2_bucket(len(all_chunks))), self.n_data)
         group = padded_chains
         if self.quantize == 'fused':
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
@@ -392,10 +403,13 @@ class InferenceHandler:
                                mels[0].dtype)
             for i, m in enumerate(mels):
                 stacked[i, :m.shape[0]] = m
-            if stacked.shape[0] % self.n_data:
-                # the lockstep song axis tiles 'data' under a mesh
-                pad_songs = _round_up(stacked.shape[0],
-                                      self.n_data) - stacked.shape[0]
+            # pow2 song bucketing (one compiled shape per bucket; padded
+            # songs are masked and cost zero decode steps) + the mesh's
+            # data-axis tiling
+            target_songs = _round_up(_pow2_bucket(stacked.shape[0]),
+                                     self.n_data)
+            if target_songs != stacked.shape[0]:
+                pad_songs = target_songs - stacked.shape[0]
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
                                        stacked.dtype)])

@@ -444,6 +444,36 @@ class TestMeshHandler:
                    [(n.pitch, n.start_time) for n in b.notes]
 
 
+class TestPow2Bucketing:
+    """Variable song/chain counts bucket to powers of two so a server or
+    eval run compiles O(log) programs instead of one per count; the
+    padded rows are valid-masked (zero extra decode steps) and must not
+    change real outputs."""
+
+    def test_lockstep_odd_song_count_matches_per_song(self):
+        h = _segmem_handler(max_length=8, batch_size=2,
+                            contiguous_inference=True, segment_bucket=4)
+        rng = np.random.default_rng(9)
+        audios = [rng.normal(size=16000 * 3).astype(np.float32) * 0.05
+                  for _ in range(5)]  # 5 songs -> padded to 8
+        many = h.transcribe_many(audios)
+        assert len(many) == 5
+        for audio, ns in zip(audios, many):
+            solo = h.transcribe(audio)
+            assert [(n.pitch, n.start_time) for n in solo.notes] == \
+                   [(n.pitch, n.start_time) for n in ns.notes]
+
+    def test_chained_odd_chain_count(self):
+        h = _segmem_handler(max_length=8, batch_size=2)
+        rng = np.random.default_rng(10)
+        mel = rng.normal(size=(9, 256, 512)).astype(np.float32) * 0.5
+        tokens = h._decode_all(mel)  # 5 chains -> padded to 8
+        assert tokens.shape == (9, 9)
+        # first chain unaffected by the padding chains
+        ref = h._decode_all(mel[:2])
+        np.testing.assert_array_equal(tokens[:2], ref)
+
+
 class TestAutoQuantize:
     def _handler(self, quantize='fused'):
         model = MT3(SMALL)
