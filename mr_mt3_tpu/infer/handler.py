@@ -48,13 +48,21 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pow2_bucket(n: int) -> int:
-    """Next power of two >= n. Variable chain/song counts each compile a
-    distinct program (~100 s server-side startup per shape on this
-    platform); pow2 bucketing bounds the shapes at log2(cap), and the
-    valid-mask makes the padding rows free (they start decode finished,
-    adding zero loop steps)."""
-    return 1 << max(0, int(n - 1).bit_length())
+def _pow2_bucket(n: int, cap: int = 64) -> int:
+    """Next power of two >= n, for n <= cap; beyond cap, fall back to
+    multiples of 4. Variable chain/song counts each compile a distinct
+    program (~100 s server-side startup per shape on this platform);
+    pow2 bucketing bounds the shapes at log2(cap). The valid-mask makes
+    padding rows free in the DECODE loop (they start finished), but they
+    still cost encoder FLOPs and host->device transfer — hence the cap:
+    the serving/eval coalescing scale (<= 64) is where shape churn
+    hurts, while huge one-shot batches compile once anyway and should
+    not pay near-2x padding."""
+    if n <= 1:
+        return 1
+    if n > cap:
+        return _round_up(n, 4)
+    return 1 << int(n - 1).bit_length()
 
 
 class InferenceHandler:

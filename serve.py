@@ -137,9 +137,18 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         t = np.arange(2 * 256 * 128, dtype=np.float32) / sr
         probe_audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)).astype(
             np.float32)
-        handler.transcribe_many([probe_audio])
+        # in contiguous mode the lockstep song axis buckets to powers of
+        # two, so each coalesce bucket (1,2,4,8 for max_coalesce=8) is a
+        # distinct program — warm them all, or the first coalesced
+        # request of each bucket stalls on program startup
+        counts = ([1] if not handler.contiguous_inference else
+                  [1 << i for i in range((MicroBatcher.MAX_COALESCE - 1)
+                                         .bit_length() + 1)])
+        for k in counts:
+            handler.transcribe_many([probe_audio] * k)
         info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
         info['prewarmed'] = True
+        info['prewarm_buckets'] = counts
     print(f'serving decode path: quantize={handler.quantize!r} '
           f'(probe={info.get("probe_flips", "skipped")} flips, '
           f'prewarmed={info["prewarmed"]})')
@@ -155,10 +164,12 @@ class MicroBatcher:
     so N concurrent clients cost ~1 decode instead of N serialized ones.
     """
 
-    def __init__(self, handler, max_coalesce: int = 8):
+    MAX_COALESCE = 8  # also the largest song bucket prepare_handler warms
+
+    def __init__(self, handler, max_coalesce: int = None):
         import queue
         self.handler = handler
-        self.max_coalesce = max_coalesce
+        self.max_coalesce = max_coalesce or self.MAX_COALESCE
         self.batches = 0
         self._q: 'queue.Queue' = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)

@@ -463,6 +463,18 @@ class TestPow2Bucketing:
             assert [(n.pitch, n.start_time) for n in solo.notes] == \
                    [(n.pitch, n.start_time) for n in ns.notes]
 
+    def test_pow2_bucket_values(self):
+        from mr_mt3_tpu.infer.handler import _pow2_bucket
+        assert _pow2_bucket(0) == 1
+        assert _pow2_bucket(1) == 1
+        assert _pow2_bucket(3) == 4
+        assert _pow2_bucket(8) == 8
+        assert _pow2_bucket(33) == 64
+        # beyond the cap, multiples of 4 (huge one-shot batches compile
+        # once; near-2x padding there costs real encoder FLOPs)
+        assert _pow2_bucket(65) == 68
+        assert _pow2_bucket(130) == 132
+
     def test_chained_odd_chain_count(self):
         h = _segmem_handler(max_length=8, batch_size=2)
         rng = np.random.default_rng(10)

@@ -251,6 +251,26 @@ class TestQuantizeGuard:
         info = serve.prepare_handler(handler, probe=False)
         assert info['prewarmed'] is True
         assert info['prewarm_seconds'] >= 0
+        assert info['prewarm_buckets'] == [1]
+
+    def test_prewarm_covers_contiguous_buckets(self):
+        """Contiguous mode buckets the lockstep song axis to powers of
+        two; prewarm must compile every coalesce bucket or the first
+        coalesced request of each still stalls on program startup."""
+        cfg = SMALL.replace(segmem_variant='encoder_append',
+                            segmem_length=4)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=2,
+                                   contiguous_inference=True,
+                                   segment_bucket=1)
+        info = serve.prepare_handler(handler, probe=False)
+        assert info['prewarm_buckets'] == [1, 2, 4, 8]
 
     def test_healthz_reports_decode_path(self):
         """The server surfaces the chosen decode path + warm state."""
