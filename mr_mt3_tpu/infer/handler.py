@@ -125,7 +125,9 @@ class InferenceHandler:
         # that axis, so each chip runs the full local program with ZERO
         # collectives (the megakernel's per-device batch cap then applies
         # per chip). The reference's equivalent evaluates on rank 0 only
-        # (reference: tasks/mt3_base.py:27).
+        # (reference: tasks/mt3_base.py:27). Scope: a SINGLE-process mesh
+        # (one host's chips, e.g. a v5e-8) — multi-host eval would need
+        # per-process batch construction like train's shard_batch.
         self.mesh = mesh
         self.n_data = int(mesh.shape['data']) if mesh is not None else 1
         if mesh is not None:
