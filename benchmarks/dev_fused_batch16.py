@@ -8,7 +8,6 @@ CHUNK=256) beats two sequential groups of 8, and how B=16/CHUNK=128
 compiles at all. Results go to PERF.md.
 """
 
-import importlib
 import json
 import sys
 
@@ -38,7 +37,13 @@ def main():
     def measure(batch, chunk, fused_cap, reps=6):
         fused_decode.CHUNK = chunk
         fused_decode.FUSED_MAX_BATCH = fused_cap
-        importlib.reload  # no-op marker: constants are read at trace time
+        # pin the chunk to the case label: since round 3,
+        # chunk_base_for doubles for single-group calls — that batch-
+        # aware logic is exactly what this probe must NOT apply, or every
+        # case measures a different chunk than it claims
+        fused_decode.chunk_base_for = \
+            lambda lenc, single_group=False: chunk if lenc <= 256 \
+            else chunk // 2
 
         def decode(v, m):
             if batch > fused_cap:  # sequential groups (handler behavior)

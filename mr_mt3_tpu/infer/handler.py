@@ -216,6 +216,44 @@ class InferenceHandler:
         exit."""
         return jnp.arange(total) < n_valid
 
+    def _call_sizes(self, n_real: int, floor: int,
+                    capped: bool) -> list:
+        """Device-call sizes for a leading axis of n_real rows: one
+        pow2-bucketed call normally; under the fused 64-row per-call
+        compile ceiling, full-cap calls plus a pow2-bucketed remainder
+        (so the remainder reuses standard bucket shapes instead of
+        padding the whole batch to a cap multiple). Every size is a
+        multiple of the data axis."""
+        def bucket(n):
+            return _round_up(max(floor, _pow2_bucket(n)), self.n_data)
+        if not capped:
+            return [bucket(n_real)]
+        from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
+        cap = 8 * FUSED_MAX_BATCH * self.n_data
+        if bucket(n_real) <= cap:
+            return [bucket(n_real)]
+        sizes = [cap] * (n_real // cap)
+        rem = n_real % cap
+        if rem:
+            sizes.append(bucket(rem))
+        return sizes
+
+    def _call_in_sizes(self, fn, stacked: np.ndarray, sizes: list,
+                       n_real: int) -> np.ndarray:
+        """Run fn(variables, slice, mask) over consecutive slices of
+        `sizes` (stacked rows beyond n_real are padding)."""
+        if len(sizes) == 1:
+            return np.asarray(fn(self.variables, jnp.asarray(stacked),
+                                 self._mask(n_real, stacked.shape[0])))
+        parts, off = [], 0
+        for size in sizes:
+            real = max(0, min(size, n_real - off))
+            parts.append(np.asarray(fn(
+                self.variables, jnp.asarray(stacked[off:off + size]),
+                self._mask(real, size))))
+            off += size
+        return np.concatenate(parts)
+
     def _get_decode_fn(self):
         if self._decode_fn is None:
             model, max_length = self.model, self.max_length
@@ -320,31 +358,20 @@ class InferenceHandler:
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         # pow2 shape bucketing (see _pow2_bucket); with a mesh the chain
         # axis also tiles 'data'. Fused mode groups chains in-trace up to
-        # its 64-row per-call compile ceiling; beyond that, fixed
-        # 64-chain device calls.
-        padded_chains = _round_up(
-            max(4, _pow2_bucket(len(all_chunks))), self.n_data)
-        group = padded_chains
-        if self.quantize == 'fused':
-            from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-            group = min(group, 8 * FUSED_MAX_BATCH * self.n_data)
-        if group < padded_chains:
-            padded_chains = _round_up(padded_chains, group)
+        # its 64-row per-call compile ceiling; beyond that, full-cap
+        # device calls plus a pow2-bucketed remainder call (the remainder
+        # reuses the standard bucket shapes instead of padding the whole
+        # batch up to a cap multiple).
+        n_real = len(all_chunks)
+        sizes = self._call_sizes(n_real, floor=4,
+                                 capped=self.quantize == 'fused')
+        padded_chains = sum(sizes)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
                            mels[0].dtype)
         for i, chunk in enumerate(all_chunks):
             stacked[i] = chunk
         fn = self._get_segmem_fn()
-        n_real = len(all_chunks)
-        if stacked.shape[0] > group:
-            parts = [np.asarray(fn(
-                self.variables, jnp.asarray(stacked[s:s + group]),
-                self._mask(max(0, min(group, n_real - s)), group)))
-                for s in range(0, stacked.shape[0], group)]
-            tokens = np.concatenate(parts)
-        else:
-            tokens = np.asarray(fn(self.variables, jnp.asarray(stacked),
-                                   self._mask(n_real, stacked.shape[0])))
+        tokens = self._call_in_sizes(fn, stacked, sizes, n_real)
         out = []
         for n, start, num_chunks in chains:
             flat = tokens[start:start + num_chunks].reshape(
@@ -415,38 +442,19 @@ class InferenceHandler:
                 stacked[i, :m.shape[0]] = m
             # pow2 song bucketing (one compiled shape per bucket; padded
             # songs are masked and cost zero decode steps) + the mesh's
-            # data-axis tiling
-            target_songs = _round_up(_pow2_bucket(stacked.shape[0]),
-                                     self.n_data)
+            # data-axis tiling; fused mode splits past its 64-row
+            # per-call compile ceiling with a pow2-bucketed remainder
+            n_songs = len(mels)
+            sizes = self._call_sizes(n_songs, floor=1,
+                                     capped=self.quantize == 'fused')
+            target_songs = sum(sizes)
             if target_songs != stacked.shape[0]:
                 pad_songs = target_songs - stacked.shape[0]
                 stacked = np.concatenate(
                     [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
                                        stacked.dtype)])
-            # fused mode groups lockstep songs in-trace up to its 64-row
-            # per-call compile ceiling; beyond that, fixed device calls
-            group = stacked.shape[0]
-            if self.quantize == 'fused':
-                from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-                group = min(group, 8 * FUSED_MAX_BATCH * self.n_data)
             fn = self._get_segmem_fn()
-            n_songs = len(mels)
-            if stacked.shape[0] > group:
-                padded_songs = _round_up(stacked.shape[0], group)
-                if padded_songs != stacked.shape[0]:
-                    stacked = np.concatenate(
-                        [stacked,
-                         np.zeros((padded_songs - stacked.shape[0],)
-                                  + stacked.shape[1:], stacked.dtype)])
-                parts = [np.asarray(fn(
-                    self.variables, jnp.asarray(stacked[s:s + group]),
-                    self._mask(max(0, min(group, n_songs - s)), group)))
-                    for s in range(0, stacked.shape[0], group)]
-                tokens = np.concatenate(parts)
-            else:
-                tokens = np.asarray(fn(self.variables, jnp.asarray(stacked),
-                                       self._mask(n_songs,
-                                                  stacked.shape[0])))
+            tokens = self._call_in_sizes(fn, stacked, sizes, n_songs)
             per_song = [tokens[i, :m.shape[0]]
                         for i, m in enumerate(mels)]
         elif self.cfg.segmem_variant == 'encoder_append':

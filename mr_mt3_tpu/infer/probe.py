@@ -14,20 +14,27 @@ from __future__ import annotations
 import numpy as np
 
 
-def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
-    """Deterministic synthetic probe batch: a chord + percussion-ish
-    noise bursts, so logits are exercised on music-like (not silent)
-    input. Returns mel (num_segments, 256, 512)."""
-    sr = handler.SAMPLE_RATE
+def probe_audio(num_segments: int = 2, sample_rate: int = 16000
+                ) -> np.ndarray:
+    """The canonical deterministic probe signal: a chord + percussion-ish
+    bursts, so logits are exercised on music-like (not silent) input.
+    Shared by the quantize guard and serving prewarm so the warmed
+    program sees the same numerics the guard validated."""
     n = num_segments * 256 * 128
-    t = np.arange(n, dtype=np.float32) / sr
+    t = np.arange(n, dtype=np.float32) / sample_rate
     audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)      # C4
              + 0.2 * np.sin(2 * np.pi * 329.63 * t)    # E4
              + 0.15 * np.sin(2 * np.pi * 392.0 * t))   # G4
-    burst = (np.arange(n) % (sr // 2)) < 800           # 2 Hz clicks
+    burst = (np.arange(n) % (sample_rate // 2)) < 800  # 2 Hz clicks
     audio = audio + 0.3 * burst * np.sin(2 * np.pi * 1200 * t)
+    return audio.astype(np.float32)
+
+
+def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
+    """probe_audio through the handler's frontend -> mel
+    (num_segments, 256, 512)."""
     segments, _, valid = handler._audio_to_segments(
-        audio.astype(np.float32))
+        probe_audio(num_segments, handler.SAMPLE_RATE))
     return handler._compute_mel(segments, valid)
 
 

@@ -441,6 +441,14 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         precompute_cross_kv_fused,
     )
     batch = encoder_out.shape[0]
+    if batch > 8 * FUSED_MAX_BATCH:
+        # 16-group programs fail remote compile on v5e (PERF.md); callers
+        # split into <=64-row device calls (the handler does this).
+        # Checked BEFORE 8-row alignment so the error reports the
+        # caller's own batch size.
+        raise ValueError(
+            f"quantize='fused' supports at most {8 * FUSED_MAX_BATCH} "
+            f'rows per call (got {batch})')
     # the kernel's per-head sublane slicing needs 8-row-aligned batch
     # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad
     # and slice the result
@@ -462,13 +470,6 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         # 161 (B=16) -> 180 (B=32) -> 186 RTF (B=64) on v5e (PERF.md).
         # All-padding groups (n_valid below their range) start finished
         # and exit their decode loop immediately.
-        if batch > 8 * FUSED_MAX_BATCH:
-            # 16-group programs fail remote compile on v5e (PERF.md);
-            # callers split into <=64-row device calls (the handler caps
-            # its fused device batch accordingly)
-            raise ValueError(
-                f"quantize='fused' supports at most "
-                f'{8 * FUSED_MAX_BATCH} rows per call (got {batch})')
         mask = (jnp.ones((batch,), bool) if valid_mask is None
                 else valid_mask)
         outs = []

@@ -124,28 +124,36 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
                   f'(flips={info.get("probe_flips")}, '
                   f'error={info.get("probe_error")})', file=sys.stderr)
     if prewarm:
-        import numpy as np
-
-        from mr_mt3_tpu.infer import InferenceHandler
+        from mr_mt3_tpu.infer.handler import _pow2_bucket, _round_up
+        from mr_mt3_tpu.infer.probe import probe_audio
         t0 = time.monotonic()
         # warm through transcribe_many — the path EVERY request takes
         # (serve's MicroBatcher always calls it), so the compiled program
         # shapes match real traffic, including the sharded contiguous fn
         # under a mesh (the single-song _decode_all would compile the
-        # unsharded local program instead)
-        sr = InferenceHandler.SAMPLE_RATE
-        t = np.arange(2 * 256 * 128, dtype=np.float32) / sr
-        probe_audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)).astype(
-            np.float32)
-        # in contiguous mode the lockstep song axis buckets to powers of
-        # two, so each coalesce bucket (1,2,4,8 for max_coalesce=8) is a
-        # distinct program — warm them all, or the first coalesced
-        # request of each bucket stalls on program startup
-        counts = ([1] if not handler.contiguous_inference else
-                  [1 << i for i in range((MicroBatcher.MAX_COALESCE - 1)
-                                         .bit_length() + 1)])
+        # unsharded local program instead). Lockstep songs (contiguous
+        # mode) and memory chains (encoder_append models) both bucket to
+        # powers of two, so each coalesce bucket is a distinct program —
+        # warm them all, deduped by the padded shape they produce (under
+        # a mesh several counts collapse onto one shape), or the first
+        # coalesced request of a cold bucket stalls on program startup.
+        audio = probe_audio(2)
+        buckets_matter = (handler.contiguous_inference
+                          or handler.cfg.segmem_variant == 'encoder_append')
+        counts, seen = [], set()
+        candidates = ([1] if not buckets_matter else
+                      [1 << i for i in range((MicroBatcher.MAX_COALESCE - 1)
+                                             .bit_length() + 1)])
+        # the padded leading dim: song axis (contiguous) has no floor;
+        # the chain axis (non-contiguous encoder_append) floors at 4
+        floor = 1 if handler.contiguous_inference else 4
+        for k in candidates:
+            shape = _round_up(max(floor, _pow2_bucket(k)), handler.n_data)
+            if shape not in seen:
+                seen.add(shape)
+                counts.append(k)
         for k in counts:
-            handler.transcribe_many([probe_audio] * k)
+            handler.transcribe_many([audio] * k)
         info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
         info['prewarmed'] = True
         info['prewarm_buckets'] = counts

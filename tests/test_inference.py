@@ -463,6 +463,17 @@ class TestPow2Bucketing:
             assert [(n.pitch, n.start_time) for n in solo.notes] == \
                    [(n.pitch, n.start_time) for n in ns.notes]
 
+    def test_call_sizes(self):
+        """Fused calls past the 64-row ceiling split into full-cap calls
+        plus a pow2-bucketed remainder (no near-2x padding), all sizes
+        from the standard bucket set."""
+        h = _segmem_handler(max_length=8, batch_size=2)
+        assert h._call_sizes(3, floor=4, capped=True) == [4]
+        assert h._call_sizes(65, floor=4, capped=True) == [64, 4]
+        assert h._call_sizes(150, floor=4, capped=True) == [64, 64, 32]
+        assert h._call_sizes(65, floor=4, capped=False) == [68]
+        assert h._call_sizes(1, floor=1, capped=True) == [1]
+
     def test_pow2_bucket_values(self):
         from mr_mt3_tpu.infer.handler import _pow2_bucket
         assert _pow2_bucket(0) == 1
