@@ -126,8 +126,10 @@ class InferenceHandler:
         # collectives (the megakernel's per-device batch cap then applies
         # per chip). The reference's equivalent evaluates on rank 0 only
         # (reference: tasks/mt3_base.py:27). Scope: a SINGLE-process mesh
-        # (one host's chips, e.g. a v5e-8) — multi-host eval would need
-        # per-process batch construction like train's shard_batch.
+        # (one host's chips, e.g. a v5e-8). Multi-host evaluation does
+        # NOT need a global mesh here: get_scores shards the SONG list
+        # per process and hands each handler a parallel.local_mesh, so
+        # every decode program stays single-process (infer/scores.py).
         self.mesh = mesh
         self.n_data = int(mesh.shape['data']) if mesh is not None else 1
         if mesh is not None:

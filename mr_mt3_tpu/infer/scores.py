@@ -7,6 +7,7 @@ which the training loop's periodic-F1 hook also uses
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, List, Optional
 
@@ -15,6 +16,35 @@ import numpy as np
 from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.eval.evaluate import evaluate_main
 from mr_mt3_tpu.infer.handler import InferenceHandler
+
+# scores dicts are ~20 short keys; 64 KiB of headroom for the broadcast
+_SCORES_WIRE_BYTES = 65536
+
+
+def _broadcast_scores(scores: Optional[Dict[str, float]]) -> Dict[str, float]:
+    """Send process 0's scores dict to every process (multihost eval).
+
+    JSON over a fixed-size uint8 buffer through
+    multihost_utils.broadcast_one_to_all — the same psum-based primitive
+    train's multihost path relies on, so it works anywhere the cluster
+    does (incl. the 2-process CPU test cluster)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        payload = json.dumps(scores).encode()
+        if len(payload) > _SCORES_WIRE_BYTES:
+            raise ValueError(f'scores dict too large to broadcast '
+                             f'({len(payload)} bytes)')
+        buf = np.zeros(_SCORES_WIRE_BYTES, np.uint8)
+        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+        length = np.array([len(payload)], np.int32)
+    else:
+        buf = np.zeros(_SCORES_WIRE_BYTES, np.uint8)
+        length = np.zeros(1, np.int32)
+    length = int(multihost_utils.broadcast_one_to_all(length)[0])
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return json.loads(bytes(buf[:length]).decode())
 
 
 def load_eval_audio(path, eval_dataset: str = 'Slakh') -> np.ndarray:
@@ -53,19 +83,36 @@ def get_scores(
 
     mesh: optional ('data', 'model') jax mesh — decode batches shard over
     the data axis so a v5e-8 eval run drives all 8 chips (the reference
-    evaluates on rank 0 only: tasks/mt3_base.py:27).
+    evaluates on rank 0 only: tasks/mt3_base.py:27). The mesh must be
+    built from this PROCESS's local devices (parallel.local_mesh);
+    decode is embarrassingly parallel across songs, so under
+    jax.distributed each process independently transcribes a strided
+    shard of the song list on its own chips — zero cross-process device
+    traffic during decode. Multihost additionally assumes exp_tag_name
+    is on a filesystem shared by all processes (the standard pod setup):
+    after a barrier, process 0 scores the full output dir and broadcasts
+    the dict, so every process returns identical scores.
 
     quantize='auto': the megakernel (1.5x decode throughput at B=64 —
     PERF.md) guarded by a startup probe on the actual weights; any
     probe-token flip vs exact bf16 falls back to exact numerics, keeping
     the within-0.001-F1 bar.
     """
+    import jax
     if quantize == 'auto':
-        import jax
         quantize = 'fused' if jax.default_backend() == 'tpu' else 'none'
         probe_guard = quantize != 'none'
     else:
         probe_guard = False
+    # multihost: this process transcribes every procs-th song. The stride
+    # (vs contiguous blocks) balances the long and short songs that sorted
+    # file lists cluster together.
+    procs = jax.process_count()
+    if procs > 1:
+        eval_audio_dir = list(eval_audio_dir)[jax.process_index()::procs]
+        if verbose:
+            print(f'multihost eval: process {jax.process_index()}/{procs} '
+                  f'transcribes {len(eval_audio_dir)} songs')
     if handler is None:
         handler = InferenceHandler(
             model=model, variables=variables, mel_norm=mel_norm,
@@ -120,12 +167,24 @@ def get_scores(
                                   outpath=outpath_for(fname),
                                   verbose=verbose)
 
-    scores = evaluate_main(
-        dataset_name=eval_dataset,
-        test_midi_dir=exp_tag_name,
-        ground_truth_midi_dir=ground_truth_midi_dir)
+    if procs > 1:
+        from jax.experimental import multihost_utils
+        # every process's MIDI writes must land before process 0 scores
+        multihost_utils.sync_global_devices('mr_mt3_eval_midis_written')
+        scores = None
+        if jax.process_index() == 0:
+            scores = evaluate_main(
+                dataset_name=eval_dataset,
+                test_midi_dir=exp_tag_name,
+                ground_truth_midi_dir=ground_truth_midi_dir)
+        scores = _broadcast_scores(scores)
+    else:
+        scores = evaluate_main(
+            dataset_name=eval_dataset,
+            test_midi_dir=exp_tag_name,
+            ground_truth_midi_dir=ground_truth_midi_dir)
 
-    if verbose:
+    if verbose and jax.process_index() == 0:
         for key in sorted(scores):
             print('{}: {:.4}'.format(key, scores[key]))
     return scores

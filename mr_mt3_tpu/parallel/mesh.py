@@ -36,6 +36,38 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ('data', 'model'))
 
 
+def init_multihost() -> None:
+    """jax.distributed.initialize() with a generic-cluster escape hatch.
+
+    On TPU pods / SLURM the bare call auto-detects everything. Other
+    clusters (incl. the CPU test cluster) have no plugin, so when
+    JAX_NUM_PROCESSES is set we pass the coordinates explicitly:
+    JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID."""
+    import os
+    kwargs = {}
+    if os.environ.get('JAX_NUM_PROCESSES'):
+        kwargs = dict(
+            coordinator_address=os.environ.get('JAX_COORDINATOR_ADDRESS'),
+            num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(os.environ['JAX_PROCESS_ID']))
+    jax.distributed.initialize(**kwargs)
+
+
+def local_mesh(model: int = 1) -> Optional[Mesh]:
+    """('data', 'model') mesh over THIS process's devices only, or None
+    when the process has a single device (plain jit is then cheaper).
+
+    For work that is embarrassingly parallel at the process level —
+    multihost evaluation shards the song list per process and each
+    process decodes on its own chips (infer.scores.get_scores) — a local
+    mesh keeps every program single-process: no global arrays, no
+    cross-host collectives inside decode."""
+    devices = jax.local_devices()
+    if len(devices) <= 1:
+        return None
+    return make_mesh(model=model, devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading batch axis split across 'data'."""
     return NamedSharding(mesh, P('data'))

@@ -148,10 +148,20 @@ def load_weights(path: str, model: MT3, like_params=None,
         return params, 0
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = ocp.PyTreeCheckpointer()
+        path = os.path.abspath(path)
         # targetless restore tolerates checkpoints with or without
-        # optimizer state
-        restored = ckptr.restore(os.path.abspath(path))
+        # optimizer state. Restore to HOST numpy: the default restore
+        # re-applies the sharding metadata saved at write time, which
+        # breaks whenever the restoring topology differs (e.g. process 1
+        # of a multihost eval does not own the writer's device 0 —
+        # "Device TFRT_CPU_0 was not found"). Callers device_put onto
+        # their own mesh afterwards.
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            meta.tree if hasattr(meta, 'tree') else meta)
+        restored = ckptr.restore(path, restore_args=restore_args)
         if strict:
             check_param_coverage(restored['params'], model)
         return restored['params'], int(restored['step'])

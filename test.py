@@ -29,6 +29,19 @@ def main(argv=None):
         honor_platform_env,
     )
     honor_platform_env()
+    if bool(cfg.get('multihost')):
+        # one process per host: the song list shards per process (strided),
+        # each process decodes on its own chips via a LOCAL mesh, process 0
+        # scores the shared output dir and broadcasts (infer/scores.py).
+        # Mirrors train.py's multihost flag; auto-detects on TPU pods,
+        # JAX_{COORDINATOR_ADDRESS,NUM_PROCESSES,PROCESS_ID} elsewhere.
+        import jax
+
+        from mr_mt3_tpu.parallel import init_multihost
+        init_multihost()
+        print(f'multihost eval: process {jax.process_index()}/'
+              f'{jax.process_count()}, {jax.local_device_count()} '
+              f'local devices')
     enable_compilation_cache()
     from mr_mt3_tpu.infer.scores import get_scores
     from mr_mt3_tpu.utils import builders
@@ -58,14 +71,23 @@ def main(argv=None):
 
     # data-parallel eval: shard decode batches over every visible chip
     # (devices: null = all, like train.py; the reference evaluates on a
-    # single rank only — reference tasks/mt3_base.py:27)
+    # single rank only — reference tasks/mt3_base.py:27). Under multihost
+    # the mesh is per-process local — decode is embarrassingly parallel
+    # across the process-sharded song list, so no program spans hosts.
     import jax
-    n_dev = int(cfg.get('devices') or len(jax.devices()))
     mesh = None
-    if n_dev > 1:
-        from mr_mt3_tpu.parallel import make_mesh
-        mesh = make_mesh(data=n_dev, model=1)
-        print(f'eval mesh: {n_dev} devices on the data axis')
+    if bool(cfg.get('multihost')):
+        from mr_mt3_tpu.parallel import local_mesh
+        mesh = local_mesh()
+        if mesh is not None:
+            print(f'eval mesh (local): {mesh.shape["data"]} devices '
+                  f'on the data axis')
+    else:
+        n_dev = int(cfg.get('devices') or len(jax.devices()))
+        if n_dev > 1:
+            from mr_mt3_tpu.parallel import make_mesh
+            mesh = make_mesh(data=n_dev, model=1)
+            print(f'eval mesh: {n_dev} devices on the data axis')
 
     scores = get_scores(
         model=model,

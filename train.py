@@ -40,7 +40,8 @@ def main(argv=None):
         # jax.jit turns host-local batches into the global batch. The
         # reference's equivalent is Lightning spawning one proc per GPU
         # under DDP (reference: config/config.yaml:45).
-        jax.distributed.initialize()
+        from mr_mt3_tpu.parallel import init_multihost
+        init_multihost()
         print(f'multihost: process {jax.process_index()}/'
               f'{jax.process_count()}, {jax.device_count()} global devices')
 
