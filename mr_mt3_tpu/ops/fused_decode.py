@@ -411,9 +411,13 @@ def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
                       q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, emit)
 
         # self-attention: flash update over cache chunk c, all heads in
-        # single (HB)-batched dots; rows 0..pos-1 hold past positions
-        flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
-                    c * chunk, pos, chunk)
+        # single (HB)-batched dots; rows 0..pos-1 hold past positions.
+        # Chunks past the frontier are skipped (no DMA via chunk_spec's
+        # clamp, no compute via this guard).
+        @pl.when(c * chunk < pos)
+        def _():
+            flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
+                        c * chunk, pos, chunk)
 
         @pl.when(c == n_chunks - 1)
         def _():
@@ -475,9 +479,16 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
 
     def chunk_spec(block):
         nd = len(block)
-        return pl.BlockSpec(
-            block, lambda i, c, *_: (i,) + (0,) * (nd - 2) + (c,),
-            memory_space=pltpu.VMEM)
+
+        # skip chunks past the decode frontier (see the window kernel's
+        # chunk_spec): clamping to the last live chunk elides the DMA,
+        # and the kernel gates the matching (no-op) compute
+        def imap(i, c, pos_ref):
+            live = (pos_ref[0] + chunk - 1) // chunk
+            c_eff = jnp.minimum(c, jnp.maximum(live - 1, 0))
+            return (i,) + (0,) * (nd - 2) + (c_eff,)
+
+        return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
     const_spec = pl.BlockSpec(
         x.shape, lambda i, c, *_: (0, 0), memory_space=pltpu.VMEM)
@@ -636,9 +647,13 @@ def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
             wv_scr[i, t] = v_scr[:].astype(jnp.bfloat16)
 
         # flash attention over HBM cache chunk c (rows < pos0 only; rows
-        # decoded inside this window live in wk/wv scratch)
-        flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
-                    c * chunk, pos0, chunk)
+        # decoded inside this window live in wk/wv scratch). Chunks past
+        # the frontier are skipped: no DMA (chunk_spec clamps their block
+        # index) and no compute (this guard).
+        @pl.when(c * chunk < pos0)
+        def _():
+            flash_chunk(q_scr, m_scr, l_scr, acc_scr, kq, ks, vq, vs,
+                        c * chunk, pos0, chunk)
 
         @pl.when(c == n_chunks - 1)
         def _():
@@ -736,9 +751,19 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
 
     def chunk_spec(block):
         nd = len(block)
-        return pl.BlockSpec(
-            block, lambda t, i, c, *_: (i,) + (0,) * (nd - 2) + (c,),
-            memory_space=pltpu.VMEM)
+
+        # clamp the chunk index to the last LIVE chunk (one holding rows
+        # < pos0): a block index equal to the previous grid step's elides
+        # the DMA (the splash-attention scalar-prefetch pattern), so
+        # chunks past the decode frontier cost no HBM traffic. The kernel
+        # gates their compute on the same condition — which is an exact
+        # no-op anyway (alpha=exp(0)=1, p=0), so numerics are unchanged.
+        def imap(t, i, c, pos_ref):
+            live = (pos_ref[0] + chunk - 1) // chunk
+            c_eff = jnp.minimum(c, jnp.maximum(live - 1, 0))
+            return (i,) + (0,) * (nd - 2) + (c_eff,)
+
+        return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
