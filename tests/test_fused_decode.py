@@ -298,6 +298,147 @@ class TestFusedWindow:
         assert bool(fin[1])
 
 
+class TestGroupedKernel:
+    """Group-axis window kernel (fused_decode_window_grouped): G groups of
+    8 on a grid axis so the layer weights stream once per (token, layer)
+    instead of once per group."""
+
+    def _grouped_setup(self, batch=16, max_len=16):
+        from mr_mt3_tpu.ops.fused_decode import (
+            init_fused_cache_grouped,
+            regroup_cross_kv,
+        )
+        model, variables, dp, fp, enc, cross, _ = _small_setup(
+            batch=batch, max_len=max_len)
+        n_groups = batch // 8
+        cache = init_fused_cache_grouped(SMALL_CFG, n_groups, max_len)
+        cross_g = regroup_cross_kv(cross, n_groups)
+        return dp, fp, cross, cross_g, cache, n_groups
+
+    def test_regroup_cross_kv_layout(self):
+        """regroup_cross_kv: (L, H, B, ...) -> (L*G + g) leading axis with
+        the group's 8 rows in batch position."""
+        from mr_mt3_tpu.ops.fused_decode import regroup_cross_kv
+        _, _, dp, fp, enc, cross, _ = _small_setup(batch=16)
+        out = regroup_cross_kv(cross, 2)
+        L = SMALL_CFG.num_decoder_layers
+        src = np.asarray(cross['ckq'])     # (L, H, 16, dk, Lenc)
+        dst = np.asarray(out['ckq'])       # (L*2, H, 8, dk, Lenc)
+        for i in range(L):
+            for g in range(2):
+                np.testing.assert_array_equal(
+                    dst[i * 2 + g], src[i, :, g * 8:(g + 1) * 8])
+
+    def test_grouped_cache_matches_per_step(self):
+        """Teacher-forced grouped cache rows must match the per-step
+        kernel's at quantization-noise level (the grouped kernel keeps its
+        window rows int8 — same codes the cache receives)."""
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        dp, fp, cross, cross_g, cache_g, n_groups = self._grouped_setup()
+        cache_ref = init_fused_cache(SMALL_CFG, 16, 16)
+        forced = np.random.default_rng(7).integers(1, 200, size=(16, 8))
+        for step in range(8):
+            t = jnp.asarray(forced[:, step], jnp.int32)
+            _, cache_ref = fused_decode_step(
+                SMALL_CFG, fp, dp, t, jnp.int32(step), cache_ref, cross,
+                interpret=True)
+            _, _, cache_g = fused_decode_window_grouped(
+                SMALL_CFG, fp, dp, t, jnp.zeros((16,), bool),
+                jnp.int32(step), cache_g, cross_g, t_window=1,
+                interpret=True)
+        L, H = SMALL_CFG.num_decoder_layers, SMALL_CFG.num_heads
+        dk = SMALL_CFG.d_kv
+        for kq_key, ks_key in (('kq', 'ks'), ('vq', 'vs')):
+            d_ref = (np.asarray(cache_ref[kq_key], np.float32)
+                     * np.asarray(cache_ref[ks_key])[..., None, :])
+            d_g = (np.asarray(cache_g[kq_key], np.float32)
+                   * np.asarray(cache_g[ks_key])[..., None, :])
+            # grouped layout (L*G, H, 8, ...) -> (L, H, 16, ...)
+            d_g = d_g.reshape((L, 2, H, 8, dk, 16))
+            d_g = np.moveaxis(d_g, 1, 2).reshape((L, H, 16, dk, 16))
+            scale = np.abs(d_ref).max()
+            assert np.abs(d_ref - d_g).max() < 0.05 * scale, kq_key
+
+    def test_grouped_matches_window_on_confident_model(self):
+        """On the overfit parity model the grouped kernel must agree
+        token-for-token with the proven window kernel (margins ~2.0 dwarf
+        the int8-vs-bf16 window-row difference)."""
+        golden = os.path.join(os.path.dirname(__file__), 'goldens',
+                              'parity_vanilla.npz')
+        if not os.path.exists(golden):
+            pytest.skip('parity goldens missing')
+        from tests.parity_common import (
+            VANILLA_CFG,
+            load_golden,
+            parity_corpus,
+        )
+        from mr_mt3_tpu.infer import InferenceHandler
+        from mr_mt3_tpu.models.mt3 import MT3 as MT3Model
+        from mr_mt3_tpu.ops.fused_decode import (
+            fused_decode_window,
+            fused_decode_window_grouped,
+            init_fused_cache_grouped,
+            regroup_cross_kv,
+        )
+        params, _ = load_golden('parity_vanilla.npz')
+        dp = stack_decode_params(params, VANILLA_CFG, dtype=jnp.float32)
+        fp = pack_fused_params(params, VANILLA_CFG)
+        model = MT3Model(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=16, batch_size=4)
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)[:2]
+        enc2 = model.apply({'params': params}, jnp.asarray(mel),
+                           method=MT3Model.encode_audio)
+        # tile the 2 confident rows to 16 = 2 groups of 8
+        enc = jnp.tile(enc2, (8, 1, 1))
+        cross = precompute_cross_kv_fused(dp, VANILLA_CFG, enc)
+
+        ref_rows = []
+        for s in (0, 8):
+            crossg = {k: v[:, :, s:s + 8] for k, v in cross.items()}
+            w1, f1, c = fused_decode_window(
+                VANILLA_CFG, fp, dp, jnp.zeros((8,), jnp.int32),
+                jnp.zeros((8,), bool), jnp.int32(0),
+                init_fused_cache(VANILLA_CFG, 8, 16), crossg,
+                t_window=8, interpret=True)
+            w2, _, _ = fused_decode_window(
+                VANILLA_CFG, fp, dp, w1[:, -1], f1, jnp.int32(8), c,
+                crossg, t_window=8, interpret=True)
+            ref_rows.append(np.concatenate([np.asarray(w1), np.asarray(w2)],
+                                           axis=1))
+        ref = np.concatenate(ref_rows)
+
+        cache = init_fused_cache_grouped(VANILLA_CFG, 2, 16)
+        cross_g = regroup_cross_kv(cross, 2)
+        g1, f1, cache = fused_decode_window_grouped(
+            VANILLA_CFG, fp, dp, jnp.zeros((16,), jnp.int32),
+            jnp.zeros((16,), bool), jnp.int32(0), cache, cross_g,
+            t_window=8, interpret=True)
+        g2, _, _ = fused_decode_window_grouped(
+            VANILLA_CFG, fp, dp, g1[:, -1], f1, jnp.int32(8), cache,
+            cross_g, t_window=8, interpret=True)
+        got = np.concatenate([np.asarray(g1), np.asarray(g2)], axis=1)
+        np.testing.assert_array_equal(ref, got)
+
+    def test_grouped_finished_masking(self):
+        """Rows already finished emit only pads; the flag propagates."""
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        dp, fp, cross, cross_g, cache, n_groups = self._grouped_setup()
+        fin0 = np.zeros((16,), bool)
+        fin0[3] = True   # group 0
+        fin0[12] = True  # group 1
+        w, fin, _ = fused_decode_window_grouped(
+            SMALL_CFG, fp, dp, jnp.zeros((16,), jnp.int32),
+            jnp.asarray(fin0), jnp.int32(0), cache, cross_g,
+            t_window=4, interpret=True)
+        w = np.asarray(w)
+        assert (w[3] == SMALL_CFG.pad_token_id).all()
+        assert (w[12] == SMALL_CFG.pad_token_id).all()
+        assert bool(fin[3]) and bool(fin[12])
+
+
 class TestFusedHandlerBatching:
     def test_segmem_chained_splits_into_device_groups(self):
         """Long audio on a segmem model in fused mode produces more chains
