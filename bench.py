@@ -7,7 +7,7 @@ models emit EOS far earlier, so real RTF is higher):
      Pallas megakernel (quantize='fused': int8 weights + int8 KV + 32-token
      windows, ops/fused_decode.py) at batch 64 = eight groups-of-8
      unrolled in one trace (aggregate throughput IMPROVES with batch:
-     148 RTF at B=8 -> 186 at B=64 — PERF.md; zero token flips on the
+     148 RTF at B=8 -> 203 at B=64 — PERF.md; zero token flips on the
      parity model). The B=8 latency configuration is reported in extra.
      Falls back to the bf16 XLA path at batch 128 if the kernel fails to
      compile on the target.

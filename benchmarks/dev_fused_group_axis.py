@@ -7,8 +7,15 @@ between layers and cache chunks so consecutive group steps revisit the
 same weight block (Mosaic skips the copy). Roofline ceiling ~1.4x.
 
 Each config runs in its OWN process (Mosaic VMEM failures are fatal):
-    python benchmarks/dev_fused_group_axis.py <groups> <t_window> <chunk>
+    python benchmarks/dev_fused_group_axis.py <groups> <t_window> <chunk> \
+        [phased]
 Prints one JSON line; compile failure = nonzero exit.
+
+`phased` grows the cache chunk-by-chunk like greedy_loop_fused: the DMA
+elision for frontier-dead chunks does NOT remove their ~3 us grid-step
+overhead, and at G=6 c256 the full-length cache pays 8 x 6 x 4 = 192 grid
+steps per token where the production path's phased growth averages 2.5
+chunk steps — grid-iteration overhead, not HBM bytes, dominates here.
 """
 
 import json
@@ -19,7 +26,7 @@ import numpy as np
 sys.path.insert(0, '.')
 
 
-def main(n_groups: int, t_window: int, chunk: int):
+def main(n_groups: int, t_window: int, chunk: int, phased: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -53,17 +60,16 @@ def main(n_groups: int, t_window: int, chunk: int):
     def decode(enc):
         cross = regroup_cross_kv(
             precompute_cross_kv_fused(dp, cfg, enc), n_groups)
-        # single full-length cache: frontier-dead chunks elide their DMA,
-        # so phased growth is unnecessary here
-        cache = init_fused_cache_grouped(cfg, n_groups, max_length)
+        # phased: grow the cache chunk-by-chunk (the production pattern) so
+        # early phases run fewer chunk grid steps; unphased: one full-length
+        # cache (dead chunks elide DMA but still pay their grid step)
+        bounds = ([p for p in range(chunk, max_length, chunk)]
+                  + [max_length]) if phased else [max_length]
+        cache = init_fused_cache_grouped(cfg, n_groups, bounds[0])
         tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id,
                           jnp.int32)
         tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
         finished = jnp.zeros((batch,), bool)
-
-        def cond(state):
-            i, _, _, finished = state
-            return (i < max_length) & jnp.logical_not(jnp.all(finished))
 
         def body(state):
             i, tokens, cache, finished = state
@@ -75,17 +81,35 @@ def main(n_groups: int, t_window: int, chunk: int):
             return i + t_window, tokens, cache, finished
 
         state = (jnp.int32(0), tokens, cache, finished)
-        state = jax.lax.while_loop(cond, body, state)
+        cache_len = bounds[0]
+        for bound in bounds:
+            if bound > cache_len:
+                delta = bound - cache_len
+                i, tokens, cache, finished = state
+                cache = jax.tree.map(
+                    lambda a: jnp.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]),
+                    cache)
+                state = (i, tokens, cache, finished)
+                cache_len = bound
+
+            def cond(state, bound=bound):
+                i, _, _, finished = state
+                return (i < bound) & jnp.logical_not(jnp.all(finished))
+
+            state = jax.lax.while_loop(cond, body, state)
         return state[1]
 
     fn = jax.jit(decode)
     stats = time_stats(fn, lambda: (enc,), reps=6)
     print(json.dumps({
-        'case': f'group_axis_g{n_groups}_t{t_window}_c{chunk}',
+        'case': (f'group_axis_g{n_groups}_t{t_window}_c{chunk}'
+                 + ('_phased' if phased else '')),
         'rtf': round(batch * 256 * 128 / 16000 / stats['median'], 1),
         'ms': round(stats['median'] * 1000, 1),
         'spread': round(stats['spread'], 3)}), flush=True)
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+         phased='phased' in sys.argv[4:])

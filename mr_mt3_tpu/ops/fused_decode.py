@@ -82,6 +82,14 @@ from mr_mt3_tpu.ops.int8_matmul import quantize_columns
 # stage (weights + cross-KV + chunk) near 6 MB of VMEM at B=8
 CHUNK = 256
 
+# Mosaic's scoped-VMEM cap for the megakernels. XLA's default is 16 MiB —
+# a conservative reservation, NOT the hardware limit (v5e has 128 MiB of
+# physical VMEM) — and the grouped kernel's phased 512-position program
+# missed it by 1%. Raising the cap per-kernel via CompilerParams lets
+# configs the default rejects (phased group-axis, chunk-512 groups)
+# compile; XLA still keeps its own program buffers outside this scope.
+FUSED_VMEM_LIMIT = 64 * 1024 * 1024
+
 # device-batch cap for ONE kernel: the per-stage VMEM budget (one
 # layer's weights + cross-KV + a cache chunk, double-buffered) fills at 8
 # rows — B=16 fails to compile at CHUNK 256 AND 128 (cross-KV scales
@@ -834,6 +842,8 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
     toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=FUSED_VMEM_LIMIT),
         out_shape=[
             jax.ShapeDtypeStruct((t_window, batch, 1), jnp.int32),
             jax.ShapeDtypeStruct((batch, 1), jnp.int32),
@@ -929,15 +939,15 @@ def _make_grouped_kernel(cfg: MT3Config, n_groups: int, chunk: int,
     inner, d_ff = cfg.inner_dim, cfg.d_ff
     wide = max(3 * inner, 2 * d_ff)
 
-    def kernel(pos_ref, tokens_in, finished_in, embed, pos_rows,
+    def kernel(pos_ref, packed_in, embed, pos_rows,
                wqkv, wo, wqc, woc, wff_in, wff_out,
                scale_a, scale_b, norms,
                fnorm, lm_q, lm_s,
                ckq, cks, cvq, cvs,
                kq, ks, vq, vs,
-               tokens_out, finished_out, kq_out, ks_out, vq_out, vs_out,
+               tokens_out, kq_out, ks_out, vq_out, vs_out,
                x_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr,
-               wk_scr, wv_scr, tok_scr, fin_scr):
+               wk_scr, wv_scr, tok_scr):
         t = pl.program_id(0)
         i = pl.program_id(1)
         g = pl.program_id(2)
@@ -958,20 +968,24 @@ def _make_grouped_kernel(cfg: MT3Config, n_groups: int, chunk: int,
         # token/flag state is flat (G*8, 1) — a (G, 8, 1) layout would pad
         # each group's width-1 lane dim to 128 lanes (262 KB of VMEM for
         # 256 bytes of tokens). Per-group views are dynamic sublane slices
-        # (the same op class as pos_rows[pl.ds(t, 1)] below).
+        # (the same op class as pos_rows[pl.ds(t, 1)] below). The finished
+        # flag is PACKED into bit 16 of the token word (tokens < 2^16):
+        # a separate int8 flag buffer pads to a 6 KB (48, 128) tile each
+        # for the scratch and the input block — the margin by which the
+        # phased 512-position program overflowed the 16 MB VMEM budget.
         grows = pl.ds(g * batch, batch)
 
         @pl.when(jnp.logical_and(t == 0, jnp.logical_and(
             i == 0, jnp.logical_and(g == 0, c == 0))))
         def _():
-            tok_scr[:] = tokens_in[:]
-            fin_scr[:] = finished_in[:]
+            tok_scr[:] = packed_in[:]
 
         @pl.when(jnp.logical_and(i == 0, c == 0))
         def _():
             # embed this group's current tokens as a one-hot MXU matmul
             ids = jax.lax.broadcasted_iota(jnp.int32, (batch, vocab), 1)
-            onehot = (ids == tok_scr[grows]).astype(jnp.bfloat16)
+            cur = jnp.bitwise_and(tok_scr[grows], 0xFFFF)
+            onehot = (ids == cur).astype(jnp.bfloat16)
             x = jnp.dot(onehot, embed[:],
                         preferred_element_type=jnp.float32)
             x_scr[g] = x + pos_rows[pl.ds(t, 1), :]
@@ -1045,21 +1059,14 @@ def _make_grouped_kernel(cfg: MT3Config, n_groups: int, chunk: int,
                     jax.lax.broadcasted_iota(jnp.int32, (batch, vocab), 1),
                     vocab)
                 nxt = jnp.min(cand, axis=-1, keepdims=True).astype(jnp.int32)
-                # flag math in int32 (int8 scalar splats hit Mosaic's
-                # unimplemented lane broadcast), stored back as int8
-                fin32 = fin_scr[grows].astype(jnp.int32)
+                fin32 = jnp.right_shift(tok_scr[grows], 16)
                 nxt = jnp.where(fin32 > 0, pad_id, nxt)
                 fin32 = jnp.where(nxt == eos_id, 1, fin32)
-                fin_scr[grows] = fin32.astype(jnp.int8)
-                tok_scr[grows] = nxt
+                tok_scr[grows] = nxt + jnp.left_shift(fin32, 16)
                 tokens_out[0] = nxt
-
-                @pl.when(jnp.logical_and(t == t_window - 1,
-                                         g == n_groups - 1))
-                def _():
-                    # every group's flags are final by the last group's
-                    # last window step
-                    finished_out[:] = fin_scr[:]
+                # no finished output: the driver derives the updated flags
+                # from the window tokens (a row finishing in this window
+                # emits EOS exactly once, then pads)
 
     return kernel
 
@@ -1152,8 +1159,7 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
         num_scalar_prefetch=1,
         grid=(t_window, n_layers, n_groups, n_chunks),
         in_specs=[
-            const_spec((n_groups * batch, 1)),                # tokens_in
-            const_spec((n_groups * batch, 1)),                # finished_in
+            const_spec((n_groups * batch, 1)),                # packed_in
             const_spec((cfg.vocab_size, d_model)),            # embed
             const_spec((t_window, d_model)),                  # pos_rows
             layer_spec((1, d_model, 3 * cfg.inner_dim)),      # wqkv
@@ -1181,7 +1187,6 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
             pl.BlockSpec((1, batch, 1),
                          lambda t, i, g, c, *_: (t, g, 0),
                          memory_space=pltpu.VMEM),            # tokens_out
-            const_spec((n_groups * batch, 1)),                # finished_out
             pl.BlockSpec((1, 1, hb, d_kv),
                          lambda t, i, g, c, *_, _g=n_groups:
                          (t, i * _g + g, 0, 0),
@@ -1212,22 +1217,23 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
             pltpu.VMEM((n_layers, t_window, n_groups, hb, d_kv),
                        jnp.bfloat16),                         # wv_scr
             # flat (G*8, 1): all rows on the sublane axis (one 128-lane
-            # pad total instead of one per group) and int8 flags — these
-            # layout choices are what let the 256-position cache chunk
-            # fit the 16 MB VMEM budget
+            # pad total instead of one per group), finished flag packed
+            # into bit 16 of the token word — these layout choices are
+            # what let the 256-position cache chunk (and the phased
+            # 512-position program) fit the 16 MB VMEM budget
             pltpu.VMEM((n_groups * batch, 1), jnp.int32),     # tok_scr
-            pltpu.VMEM((n_groups * batch, 1), jnp.int8),      # fin_scr
         ],
     )
     kernel = _make_grouped_kernel(cfg, n_groups, chunk, n_chunks, lenc,
                                   t_window)
-    toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
+    toks_w, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=FUSED_VMEM_LIMIT),
         out_shape=[
             jax.ShapeDtypeStruct((t_window, n_groups * batch, 1),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((n_groups * batch, 1), jnp.int8),
             jax.ShapeDtypeStruct((t_window, lg, hb, d_kv), jnp.int8),
             jax.ShapeDtypeStruct((t_window, lg, hb, 1), jnp.bfloat16),
             jax.ShapeDtypeStruct((t_window, lg, hb, d_kv), jnp.int8),
@@ -1235,8 +1241,8 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
         ],
         interpret=interpret or not _on_tpu(),
     )(pos.reshape(1),
-      tokens.reshape(n_groups * batch, 1).astype(jnp.int32),
-      finished.reshape(n_groups * batch, 1).astype(jnp.int8),
+      (tokens.astype(jnp.int32)
+       + (finished.astype(jnp.int32) << 16)).reshape(n_groups * batch, 1),
       embed, pos_rows,
       fp.wqkv, fp.wo, fp.wqc, fp.woc, fp.wff_in, fp.wff_out,
       scale_a, scale_b, fp.norms,
@@ -1263,4 +1269,9 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
             cache['vs'],
             rows_last(vs_w, 1)[:, :, :, 0, :].astype(jnp.float32),
             (0, 0, 0, pos)))
-    return (toks_w[:, :, 0].T, fin_out[:, 0] > 0, cache)
+    toks = toks_w[:, :, 0].T
+    # a row finishing inside this window emits EOS exactly once (pads
+    # after); rows already finished emit only pads — OR-ing recovers the
+    # kernel's internal flag without a dedicated (padded-tile) output
+    finished = finished | jnp.any(toks == cfg.eos_token_id, axis=1)
+    return (toks, finished, cache)
