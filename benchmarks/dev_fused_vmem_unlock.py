@@ -115,6 +115,18 @@ def main(case: str):
             lambda lenc, single_group=False:
             256 if lenc > 256 else base(lenc, single_group))
         out = _measure_segmem(reps=6, batch=32)
+    elif case == 'segmem_chunk512':
+        base = fd.chunk_base_for
+        fd.chunk_base_for = (
+            lambda lenc, single_group=False:
+            512 if lenc > 256 else base(lenc, single_group))
+        out = _measure_segmem(reps=10)
+    elif case == 'segmem_chunk512_b32':
+        base = fd.chunk_base_for
+        fd.chunk_base_for = (
+            lambda lenc, single_group=False:
+            512 if lenc > 256 else base(lenc, single_group))
+        out = _measure_segmem(reps=6, batch=32)
     elif case == 'segmem_control':
         out = _measure_segmem(reps=10)
     elif case == 'segmem_control_b32':

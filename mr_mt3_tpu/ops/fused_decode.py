@@ -305,15 +305,20 @@ def _math_helpers(cfg: MT3Config, batch: int):
 def chunk_base_for(lenc: int, single_group: bool = False) -> int:
     """Streamed cache chunk for a given encoder length.
 
-    Longer encoders (segmem appends memory: Lenc=320) grow the resident
-    cross-KV blocks; halve the chunk to stay under VMEM. single_group
-    (a call of <= FUSED_MAX_BATCH rows that is NOT one of several
-    unrolled groups) DOUBLES the chunk to 512: half the grid iterations,
-    measured 145.6 -> 159.0 RTF at B=8 on v5e — but 8 unrolled copies of
-    the bigger-VMEM kernel fail remote compile, so grouped calls keep
-    256 (PERF.md)."""
+    Longer encoders (segmem appends memory: Lenc=320) originally HALVED
+    the chunk to 128 — under Mosaic's default 16 MiB scoped-VMEM cap the
+    bigger cross-KV blocks left no room for a 256-position chunk. The
+    raised FUSED_VMEM_LIMIT re-opened that axis, and at Lenc=320 the
+    512 chunk wins decisively at BOTH call shapes (v5e, segmem lockstep
+    8x8 worst-case): single-group 135.4 (chunk 128) -> 166.9 (256) ->
+    195.2 RTF (512); 4 unrolled groups (B=32) 142.2 -> 173.9 -> 188.6.
+    single_group (a call of <= FUSED_MAX_BATCH rows that is NOT one of
+    several unrolled groups) DOUBLES the short-encoder chunk to 512:
+    half the grid iterations, measured 145.6 -> 159.0 RTF at B=8 — but
+    grouped short-encoder calls keep 256 (8 unrolled 512-chunk kernels
+    measured 174.1 vs 202.8 RTF at B=64; PERF.md)."""
     if lenc > 256:
-        return CHUNK // 2
+        return CHUNK * 2
     return CHUNK * 2 if single_group else CHUNK
 
 
