@@ -118,6 +118,9 @@ class InferenceHandler:
         # 'fused': the whole-decoder Pallas megakernel, int8 weights + KV
         # in one launch per step (small-batch latency mode,
         # ops/fused_decode.py). Both perturb logits slightly.
+        # 'fused_bf16': the same megakernel unquantized (bf16 weights/KV,
+        # f32 accumulation) — exact-numerics class, the middle tier of
+        # the probe ladder (infer/probe.py).
         self.quantize = quantize
         # Data-parallel decode over a ('data', 'model') jax mesh: the
         # decode batch (segments / memory chains / lockstep songs) shards
@@ -318,7 +321,7 @@ class InferenceHandler:
         # independent — unlike the segmem chain paths, this grouping has
         # no semantics.
         b = self.batch_size * self.n_data
-        if self.quantize == 'fused':
+        if self.quantize in ('fused', 'fused_bf16'):
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
             b = min(b, 8 * FUSED_MAX_BATCH * self.n_data)
         outs = []
@@ -365,8 +368,8 @@ class InferenceHandler:
         # reuses the standard bucket shapes instead of padding the whole
         # batch up to a cap multiple).
         n_real = len(all_chunks)
-        sizes = self._call_sizes(n_real, floor=4,
-                                 capped=self.quantize == 'fused')
+        capped = self.quantize in ('fused', 'fused_bf16')
+        sizes = self._call_sizes(n_real, floor=4, capped=capped)
         padded_chains = sum(sizes)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
                            mels[0].dtype)
@@ -447,8 +450,8 @@ class InferenceHandler:
             # data-axis tiling; fused mode splits past its 64-row
             # per-call compile ceiling with a pow2-bucketed remainder
             n_songs = len(mels)
-            sizes = self._call_sizes(n_songs, floor=1,
-                                     capped=self.quantize == 'fused')
+            capped = self.quantize in ('fused', 'fused_bf16')
+            sizes = self._call_sizes(n_songs, floor=1, capped=capped)
             target_songs = sum(sizes)
             if target_songs != stacked.shape[0]:
                 pad_songs = target_songs - stacked.shape[0]

@@ -55,12 +55,21 @@ def quantize_probe(handler):
     return int(np.sum(quant != exact)), int(quant.size)
 
 
+# demotion ladder: the int8 megakernel falls back to the UNQUANTIZED
+# bf16 megakernel (same launch structure, exact-numerics class, still
+# ~1.5x the XLA body) before giving up megakernel speed entirely; every
+# other quantized mode falls straight to exact XLA bf16.
+_NEXT_TIER = {'fused': 'fused_bf16'}
+
+
 def resolve_auto_quantize(handler, verbose: bool = True,
                           probe_fn=None) -> dict:
     """Probe-guard a handler whose quantize mode is set: any token flip —
-    or any probe failure (e.g. a decoder_prepend model, which the fused
-    path does not support) — demotes it to exact bf16 in place. Returns
-    an info dict {quantize, probe_flips, probe_tokens[, probe_error]}.
+    or any probe failure — demotes it one tier ('fused' -> 'fused_bf16'
+    -> 'none'; other modes -> 'none') and re-probes until a tier matches
+    exact bf16 token-for-token (or 'none' is reached). Returns an info
+    dict {quantize, probe_flips, probe_tokens[, probe_error, demotions]};
+    probe_flips/probe_tokens are from the LAST probe run.
 
     probe_fn: override for the probe (serve.py passes its own
     monkeypatchable entry point)."""
@@ -69,29 +78,40 @@ def resolve_auto_quantize(handler, verbose: bool = True,
         return info
 
     def demote(reason: str):
+        nxt = _NEXT_TIER.get(handler.quantize, 'none')
+        if verbose:
+            print(f'quantize={handler.quantize!r} demoted to {nxt!r}: '
+                  f'{reason}')
+        handler.quantize = nxt
+        handler._decode_fn = None
+        handler._segmem_fn = None
+        handler._segmem_fn_local = None
+        info.setdefault('demotions', []).append(reason)
+
+    if handler.cfg.segmem_variant == 'decoder_prepend':
+        # no megakernel path at all for the v1 decoder-prepend prefill —
+        # straight to exact numerics, skipping the ladder
         if verbose:
             print(f'quantize={handler.quantize!r} demoted to exact '
-                  f'numerics: {reason}')
+                  'numerics: decoder_prepend models have no quantized '
+                  'decode path')
         handler.quantize = 'none'
         handler._decode_fn = None
         handler._segmem_fn = None
         handler._segmem_fn_local = None
-
-    if handler.cfg.segmem_variant == 'decoder_prepend':
-        # fused decode does not support the v1 decoder-prepend prefill
-        demote('decoder_prepend models have no quantized decode path')
-        info['quantize'] = handler.quantize
+        info['quantize'] = 'none'
         return info
-    try:
-        flips, total = (probe_fn or quantize_probe)(handler)
-    except Exception as e:  # the guard must never crash the caller
-        info['probe_error'] = repr(e)[:200]
-        demote(f'probe failed ({e!r})')
-        info['quantize'] = handler.quantize
-        return info
-    info['probe_flips'] = flips
-    info['probe_tokens'] = total
-    if flips:
+    while handler.quantize != 'none':
+        try:
+            flips, total = (probe_fn or quantize_probe)(handler)
+        except Exception as e:  # the guard must never crash the caller
+            info['probe_error'] = repr(e)[:200]
+            demote(f'probe failed ({e!r})')
+            continue
+        info['probe_flips'] = flips
+        info['probe_tokens'] = total
+        if not flips:
+            break
         demote(f'{flips}/{total} probe tokens flipped vs exact bf16')
     info['quantize'] = handler.quantize
     return info

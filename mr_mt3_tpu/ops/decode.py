@@ -123,14 +123,20 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   groups-of-8 in one trace and aggregate throughput
                   IMPROVES with batch (PERF.md). All perturb logits
                   slightly.
+      'fused_bf16' — the same megakernel UNQUANTIZED: bf16 weights and
+                  bf16 KV, bf16 MXU contractions with f32 accumulation —
+                  the XLA bf16 body's numerics class at megakernel
+                  launch cost (a middle tier between 'none' and 'fused').
     """
-    if quantize not in ('none', 'int8', 'int8_kv', 'fused'):
+    if quantize not in ('none', 'int8', 'int8_kv', 'fused',
+                        'fused_bf16'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(
             variables['params'], model.cfg,
-            quantize=quantize if quantize in ('int8', 'fused') else 'none')
+            quantize=quantize
+            if quantize in ('int8', 'fused', 'fused_bf16') else 'none')
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
                                 quantize=quantize, valid_mask=valid_mask)
     if quantize != 'none':
@@ -194,7 +200,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     """
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
-    if quantize not in ('none', 'int8', 'int8_kv', 'fused'):
+    if quantize not in ('none', 'int8', 'int8_kv', 'fused',
+                        'fused_bf16'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     use_fast = cfg.segmem_variant != 'decoder_prepend'
     if not use_fast and quantize != 'none':
@@ -202,7 +209,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
             'quantize is not supported for decoder_prepend models')
     dp = (stack_decode_params(
         variables['params'], cfg,
-        quantize=quantize if quantize in ('int8', 'fused') else 'none')
+        quantize=quantize
+        if quantize in ('int8', 'fused', 'fused_bf16') else 'none')
         if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)

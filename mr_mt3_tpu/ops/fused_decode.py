@@ -139,11 +139,15 @@ class FusedParams(NamedTuple):
     lm_s: jnp.ndarray     # (1, vocab) f32
 
 
-def pack_fused_params(params: Dict[str, Any], cfg: MT3Config) -> FusedParams:
+def pack_fused_params(params: Dict[str, Any], cfg: MT3Config,
+                      exact: bool = False) -> FusedParams:
     """Quantize the decoder blocks for the megakernel.
 
     Quantizes from the original (typically fp32) weights, matching
-    stack_decode_params' int8 mode."""
+    stack_decode_params' int8 mode. exact=True (quantize='fused_bf16')
+    stores bf16 weights with unit scales instead — the megakernel then
+    runs unquantized, matching the XLA bf16 body's numerics class. The
+    kernel detects the mode from the weight dtype."""
     blocks = [params['decoder'][f'block_{i}']
               for i in range(cfg.num_decoder_layers)]
 
@@ -153,15 +157,21 @@ def pack_fused_params(params: Dict[str, Any], cfg: MT3Config) -> FusedParams:
     def f32(node):
         return jnp.asarray(node['kernel'], jnp.float32)
 
-    wqkv, sqkv = stacked(lambda b: quantize_columns(jnp.concatenate(
+    def bf16_columns(w):
+        return (w.astype(jnp.bfloat16),
+                jnp.ones((1, w.shape[1]), jnp.float32))
+
+    qcols = bf16_columns if exact else quantize_columns
+
+    wqkv, sqkv = stacked(lambda b: qcols(jnp.concatenate(
         [f32(b['self_attn']['q']), f32(b['self_attn']['k']),
          f32(b['self_attn']['v'])], axis=1)))
-    wo, so = stacked(lambda b: quantize_columns(f32(b['self_attn']['o'])))
-    wqc, sqc = stacked(lambda b: quantize_columns(f32(b['cross_attn']['q'])))
-    woc, soc = stacked(lambda b: quantize_columns(f32(b['cross_attn']['o'])))
-    wff_in, sff_in = stacked(lambda b: quantize_columns(jnp.concatenate(
+    wo, so = stacked(lambda b: qcols(f32(b['self_attn']['o'])))
+    wqc, sqc = stacked(lambda b: qcols(f32(b['cross_attn']['q'])))
+    woc, soc = stacked(lambda b: qcols(f32(b['cross_attn']['o'])))
+    wff_in, sff_in = stacked(lambda b: qcols(jnp.concatenate(
         [f32(b['ff']['wi_0']), f32(b['ff']['wi_1'])], axis=1)))
-    wff_out, sff_out = stacked(lambda b: quantize_columns(f32(b['ff']['wo'])))
+    wff_out, sff_out = stacked(lambda b: qcols(f32(b['ff']['wo'])))
     norms = jnp.stack([
         jnp.stack([jnp.asarray(b['self_norm']['weight'], jnp.float32),
                    jnp.asarray(b['cross_norm']['weight'], jnp.float32),
@@ -169,37 +179,50 @@ def pack_fused_params(params: Dict[str, Any], cfg: MT3Config) -> FusedParams:
         for b in blocks])
     final_norm = jnp.asarray(params['decoder']['final_norm']['weight'],
                              jnp.float32)[None, :]
-    lm_q, lm_s = quantize_columns(
+    lm_q, lm_s = qcols(
         jnp.asarray(params['lm_head']['kernel'], jnp.float32))
     return FusedParams(wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
                        wff_in, sff_in, wff_out, sff_out, norms,
                        final_norm, lm_q, lm_s)
 
 
-def init_fused_cache(cfg: MT3Config, batch: int,
-                     max_len: int) -> Dict[str, jnp.ndarray]:
+def init_fused_cache(cfg: MT3Config, batch: int, max_len: int,
+                     exact: bool = False) -> Dict[str, jnp.ndarray]:
     """Head-major int8 self-KV cache: kq/vq (L, H, B, dk, P) + per-position
-    f32 scales ks/vs (L, H, B, P)."""
+    f32 scales ks/vs (L, H, B, P). exact=True (fused_bf16) stores bf16
+    rows; the scale arrays stay (as ones) so the kernel's operand
+    structure is mode-independent."""
     l, h, dk = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
     shape = (l, h, batch, dk, max_len)
     sshape = (l, h, batch, max_len)
-    return {'kq': jnp.zeros(shape, jnp.int8),
+    kv_dtype = jnp.bfloat16 if exact else jnp.int8
+    return {'kq': jnp.zeros(shape, kv_dtype),
             'ks': jnp.zeros(sshape, jnp.float32),
-            'vq': jnp.zeros(shape, jnp.int8),
+            'vq': jnp.zeros(shape, kv_dtype),
             'vs': jnp.zeros(sshape, jnp.float32)}
 
 
 def precompute_cross_kv_fused(dp, cfg: MT3Config,
-                              encoder_out: jnp.ndarray
+                              encoder_out: jnp.ndarray,
+                              exact: bool = False
                               ) -> Dict[str, jnp.ndarray]:
     """Encoder K/V for all layers, quantized int8 head-major.
 
-    dp: DecodeParams (for the stacked cross_attn k/v kernels)."""
+    dp: DecodeParams (for the stacked cross_attn k/v kernels).
+    exact=True (fused_bf16) keeps bf16 K/V with unit scales."""
     from mr_mt3_tpu.ops.fast_decode import precompute_cross_kv_stacked
     k, v = precompute_cross_kv_stacked(dp, cfg, encoder_out,
                                        kv_layout='bhdk')  # (L,B,H,dk,Lenc)
-    k = jnp.moveaxis(k, 2, 1).astype(jnp.float32)          # (L,H,B,dk,Lenc)
-    v = jnp.moveaxis(v, 2, 1).astype(jnp.float32)
+    k = jnp.moveaxis(k, 2, 1)                              # (L,H,B,dk,Lenc)
+    v = jnp.moveaxis(v, 2, 1)
+    if exact:
+        sshape = k.shape[:3] + k.shape[4:]
+        return {'ckq': k.astype(jnp.bfloat16),
+                'cks': jnp.ones(sshape, jnp.float32),
+                'cvq': v.astype(jnp.bfloat16),
+                'cvs': jnp.ones(sshape, jnp.float32)}
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
     # per-position scales (over dk, axis -2)
     ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), 1e-12) / 127.0
     vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-2), 1e-12) / 127.0
@@ -213,8 +236,14 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return weight * (x * jax.lax.rsqrt(var + eps))
 
 
-def _math_helpers(cfg: MT3Config, batch: int):
-    """Shared in-kernel math for the step and window kernels."""
+def _math_helpers(cfg: MT3Config, batch: int, exact: bool = False):
+    """Shared in-kernel math for the step and window kernels.
+
+    exact=True is the quantize='fused_bf16' mode: weights, KV caches and
+    cross-KV are bf16 (scales are unit-valued and ignored), the attention
+    contractions are bf16 MXU dots with f32 accumulation, and no
+    re-quantization happens anywhere — the same numerics class as the
+    XLA bf16 decode body, at megakernel launch cost."""
     heads, d_kv = cfg.num_heads, cfg.d_kv
     hb = heads * batch
 
@@ -265,14 +294,41 @@ def _math_helpers(cfg: MT3Config, batch: int):
             preferred_element_type=jnp.int32)[:, 0, :]
         return out.astype(jnp.float32) * pscale
 
-    int8_scores = scores_mxu if ATTN_IMPL == 'mxu' else scores_vpu
-    int8_values = values_mxu if ATTN_IMPL == 'mxu' else values_vpu
+    def scores_exact(q: jnp.ndarray, k_hb, ks_hb) -> jnp.ndarray:
+        """(HB)-batched bf16 MXU score dot (fused_bf16 mode); the unit
+        scales are ignored. expand_dims on the f32 array before the cast,
+        as in scores_mxu."""
+        qb = (q[:, None, :]).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            qb, k_hb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+        return scores
+
+    def values_exact(p: jnp.ndarray, v_hb, vs_hb) -> jnp.ndarray:
+        """(HB)-batched bf16 MXU value dot (fused_bf16 mode); probabilities
+        cast to bf16 (the XLA body's contraction dtype), no re-quantization."""
+        pb = (p[:, None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            pb, v_hb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+        return out
+
+    if exact:
+        int8_scores, int8_values = scores_exact, values_exact
+    else:
+        int8_scores = scores_mxu if ATTN_IMPL == 'mxu' else scores_vpu
+        int8_values = values_mxu if ATTN_IMPL == 'mxu' else values_vpu
 
     def int8_proj(h_bf16: jnp.ndarray, w_ref, s) -> jnp.ndarray:
-        """(B, K) bf16 @ int8 (K, N) * scales -> (B, N) f32."""
+        """(B, K) bf16 @ int8 (K, N) * scales -> (B, N) f32.
+
+        In exact mode the weights are already bf16 (astype is a no-op)
+        and the unit scale multiply is skipped."""
         acc = jnp.dot(h_bf16, w_ref.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-        return acc * s
+        return acc if exact else acc * s
 
     def scatter_heads(dst_ref, flat: jnp.ndarray, col0: int):
         """(B, inner) lane-sliced per head into (HB, dk) scratch rows."""
@@ -292,7 +348,12 @@ def _math_helpers(cfg: MT3Config, batch: int):
         return block.reshape((hb,) + block.shape[2:])
 
     def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(HB, dk) f32 -> (int8 codes, per-row f32 scale)."""
+        """(HB, dk) f32 -> (int8 codes, per-row f32 scale); in exact mode
+        (bf16 rows, unit scale) — the scale keeps its operand slot so the
+        kernel structure is mode-independent."""
+        if exact:
+            return x.astype(jnp.bfloat16), jnp.ones((x.shape[0], 1),
+                                                    jnp.float32)
         scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
                             1e-12) / 127.0
         return jnp.clip(jnp.round(x / scale),
@@ -322,13 +383,13 @@ def chunk_base_for(lenc: int, single_group: bool = False) -> int:
     return CHUNK * 2 if single_group else CHUNK
 
 
-def _layer_ops(cfg: MT3Config, batch: int):
+def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False):
     """Shared layer-body sections for the step and window kernels.
 
     Both kernels MUST keep identical math here — any fix applies to both
     by construction."""
     (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
-     merge_hb, quantize_rows) = _math_helpers(cfg, batch)
+     merge_hb, quantize_rows) = _math_helpers(cfg, batch, exact=exact)
     inner, d_kv, d_ff = cfg.inner_dim, cfg.d_kv, cfg.d_ff
     eps = cfg.layer_norm_epsilon
     hb = cfg.num_heads * batch
@@ -391,11 +452,12 @@ def _layer_ops(cfg: MT3Config, batch: int):
 
 
 def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
-                 lenc: int):
+                 lenc: int, exact: bool = False):
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
-    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch)
-    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch)
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
+                                                             exact=exact)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact)
 
     def kernel(pos_ref, x_ref,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -558,16 +620,18 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
             pltpu.VMEM((heads * batch, d_kv), jnp.float32),     # acc_scr
         ],
     )
-    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc)
+    exact = fp.wqkv.dtype == jnp.bfloat16
+    kv_dtype = jnp.bfloat16 if exact else jnp.int8
+    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc, exact=exact)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
     logits, kq_row, ks_row, vq_row, vs_row = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, cfg.vocab_size), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), kv_dtype),
             jax.ShapeDtypeStruct((n_layers, heads * batch, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), kv_dtype),
             jax.ShapeDtypeStruct((n_layers, heads * batch, 1), jnp.float32),
         ],
         interpret=interpret or not _on_tpu(),
@@ -609,13 +673,15 @@ FUSED_WINDOW = 32
 
 
 def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
-                        n_chunks: int, lenc: int, t_window: int):
+                        n_chunks: int, lenc: int, t_window: int,
+                        exact: bool = False):
     vocab = cfg.vocab_size
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
     pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
-    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch)
-    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch)
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
+                                                             exact=exact)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact)
 
     def kernel(pos_ref, tokens_in, finished_in, embed, pos_rows,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -842,8 +908,10 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
             pltpu.VMEM((batch, 1), jnp.int32),                # fin_scr
         ],
     )
+    exact = fp.wqkv.dtype == jnp.bfloat16
+    kv_dtype = jnp.bfloat16 if exact else jnp.int8
     kernel = _make_window_kernel(cfg, batch, chunk, n_chunks, lenc,
-                                 t_window)
+                                 t_window, exact=exact)
     toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -852,9 +920,9 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
         out_shape=[
             jax.ShapeDtypeStruct((t_window, batch, 1), jnp.int32),
             jax.ShapeDtypeStruct((batch, 1), jnp.int32),
-            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), kv_dtype),
             jax.ShapeDtypeStruct((t_window, n_layers, hb, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), jnp.int8),
+            jax.ShapeDtypeStruct((t_window, n_layers, hb, d_kv), kv_dtype),
             jax.ShapeDtypeStruct((t_window, n_layers, hb, 1), jnp.float32),
         ],
         interpret=interpret or not _on_tpu(),

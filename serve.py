@@ -100,9 +100,11 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
     """Pre-traffic safety + latency work; returns an info dict for /healthz.
 
     1. quantize guard: with a quantized decode path, decode a probe batch
-       quantized AND exact; ANY token flip (or probe failure) falls back
-       to exact bf16 with a logged warning (the within-0.001-F1 bar
-       beats quantized decode speed). The demotion policy lives in
+       quantized AND exact; ANY token flip (or probe failure) demotes one
+       tier with a logged warning — 'fused' (int8) falls back to
+       'fused_bf16' (the unquantized megakernel) and only then to the
+       exact XLA body (the within-0.001-F1 bar beats quantized decode
+       speed). The demotion policy lives in
        mr_mt3_tpu.infer.probe.resolve_auto_quantize (shared with eval's
        quantize='auto'); serve.quantize_probe stays the monkeypatchable
        probing entry point.
@@ -119,8 +121,8 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             probe_fn=lambda h: quantize_probe(h)))
         info['probe_seconds'] = round(time.monotonic() - t0, 1)
         if handler.quantize != before:
-            print(f'WARNING: quantize={before!r} demoted to exact bf16 '
-                  f'numerics for serving '
+            print(f'WARNING: quantize={before!r} demoted to '
+                  f'{handler.quantize!r} for serving '
                   f'(flips={info.get("probe_flips")}, '
                   f'error={info.get("probe_error")})', file=sys.stderr)
     if prewarm:

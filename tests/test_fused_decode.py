@@ -519,6 +519,81 @@ class TestFusedProductionScale:
             assert rel < 0.05, f'step {step}: rel err {rel}'
 
 
+class TestFusedBf16:
+    """quantize='fused_bf16': the megakernel unquantized (bf16 weights/KV,
+    f32 accumulation) — the probe ladder's middle tier."""
+
+    def test_step_much_tighter_than_int8(self):
+        """The exact kernel's error vs the fp32 XLA body is pure bf16
+        rounding — an order of magnitude below the int8 kernel's
+        quantization error on the same inputs."""
+        model, variables, dp, fp_i8, enc, cross_i8, cache_i8 = _small_setup()
+        fp = pack_fused_params(variables['params'], SMALL_CFG, exact=True)
+        cross = precompute_cross_kv_fused(dp, SMALL_CFG, enc, exact=True)
+        cache = init_fused_cache(SMALL_CFG, 2, 16, exact=True)
+        assert fp.wqkv.dtype == jnp.bfloat16
+        assert cache['kq'].dtype == jnp.bfloat16
+        ck = precompute_cross_kv_stacked(dp, SMALL_CFG, enc)
+        c_ref = init_cache_stacked(SMALL_CFG, 2, 16, dtype=jnp.float32)
+        toks = [jnp.array([3, 5], jnp.int32), jnp.array([7, 9], jnp.int32)]
+        for step, t in enumerate(toks):
+            got, cache = fused_decode_step(SMALL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache, cross,
+                                           interpret=True)
+            got_i8, cache_i8 = fused_decode_step(SMALL_CFG, fp_i8, dp, t,
+                                                 jnp.int32(step), cache_i8,
+                                                 cross_i8, interpret=True)
+            want, c_ref = decode_step_fast(SMALL_CFG, dp, t,
+                                           jnp.int32(step), c_ref, ck)
+            scale = float(jnp.abs(want).max())
+            rel = float(jnp.abs(got - want).max()) / scale
+            rel_i8 = float(jnp.abs(got_i8 - want).max()) / scale
+            assert rel < 0.01, f'step {step}: bf16 rel err {rel}'
+            assert rel < rel_i8, \
+                f'step {step}: bf16 ({rel}) not tighter than int8 ({rel_i8})'
+
+    def test_greedy_decode_fused_bf16_runs(self):
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 8, 16)), jnp.float32)
+        toks = np.asarray(greedy_decode(model, variables, mel,
+                                        max_length=12,
+                                        quantize='fused_bf16'))
+        assert toks.shape == (2, 13)
+        assert (toks[:, 0] == 0).all()
+
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_vanilla.npz')),
+        reason='parity goldens missing')
+    def test_fused_bf16_zero_flips_on_parity_model(self):
+        """The unquantized megakernel on the overfit parity model must be
+        token-identical to the golden (same gate as 'fused', but here any
+        flip would indicate a kernel-math bug, not quantization)."""
+        from tests.parity_common import (
+            VANILLA_CFG,
+            load_golden,
+            parity_corpus,
+        )
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_vanilla.npz')
+        model = MT3(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   batch_size=4, quantize='fused_bf16')
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        golden = np.asarray(meta['tokens'][0])
+        flips = int((tokens != golden).sum())
+        assert flips == 0, \
+            f'{flips}/{golden.size} tokens flipped under fused_bf16'
+
+
 class TestFusedAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),

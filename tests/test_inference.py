@@ -509,14 +509,35 @@ class TestAutoQuantize:
                                 quantize=quantize)
 
     def test_resolve_auto_falls_back_on_flip(self, monkeypatch):
+        """Flips at EVERY tier walk the whole ladder:
+        fused -> fused_bf16 -> none."""
         import mr_mt3_tpu.infer.probe as probe_mod
         handler = self._handler('fused')
+        tiers_probed = []
         monkeypatch.setattr(probe_mod, 'quantize_probe',
-                            lambda h: (2, 50))
+                            lambda h: tiers_probed.append(h.quantize)
+                            or (2, 50))
         info = probe_mod.resolve_auto_quantize(handler, verbose=False)
         assert handler.quantize == 'none'
-        assert info == {'quantize': 'none', 'probe_flips': 2,
-                        'probe_tokens': 50}
+        assert tiers_probed == ['fused', 'fused_bf16']
+        assert info['quantize'] == 'none'
+        assert info['probe_flips'] == 2
+        assert info['probe_tokens'] == 50
+        assert len(info['demotions']) == 2
+
+    def test_resolve_auto_ladder_stops_at_bf16(self, monkeypatch):
+        """An int8 flip with a clean bf16 megakernel keeps megakernel
+        speed at exact numerics instead of falling to the XLA body."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+        monkeypatch.setattr(
+            probe_mod, 'quantize_probe',
+            lambda h: (3, 50) if h.quantize == 'fused' else (0, 50))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'fused_bf16'
+        assert info['quantize'] == 'fused_bf16'
+        assert info['probe_flips'] == 0
+        assert len(info['demotions']) == 1
 
     def test_resolve_auto_keeps_clean_path(self, monkeypatch):
         import mr_mt3_tpu.infer.probe as probe_mod
