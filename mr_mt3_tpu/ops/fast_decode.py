@@ -469,7 +469,7 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         # budget fills at 8 rows — B=16 at CHUNK 128 or 256 both fail),
         # but trace-time grouping lets XLA overlap the groups' non-kernel
         # work and amortize dispatch: measured aggregate 148 (B=8) ->
-        # 161 (B=16) -> 180 (B=32) -> 186 RTF (B=64) on v5e (PERF.md).
+        # 161 (B=16) -> 199 (B=32) -> 203 RTF (B=64) on v5e (PERF.md).
         # All-padding groups (n_valid below their range) start finished
         # and exit their decode loop immediately.
         mask = (jnp.ones((batch,), bool) if valid_mask is None
