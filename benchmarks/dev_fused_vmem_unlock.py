@@ -131,6 +131,18 @@ def main(case: str):
         out = _measure_segmem(reps=10)
     elif case == 'segmem_control_b32':
         out = _measure_segmem(reps=6, batch=32)
+    elif case == 'b8_chunk1024':
+        # one whole-decode chunk: zero dead-chunk grid steps but every
+        # step attends all 1024 columns from position 0
+        fd.chunk_base_for = lambda lenc, single_group=False: 1024
+        out = _measure_vanilla(8)
+    elif case == 'segmem_chunk1024':
+        fd.chunk_base_for = lambda lenc, single_group=False: 1024
+        out = _measure_segmem(reps=8)
+    elif case == 'segmem_b64':
+        # the landed rule (chunk 512 at Lenc>256) at the eval path's
+        # 8-group device cap
+        out = _measure_segmem(reps=4, batch=64)
     else:
         raise SystemExit(f'unknown case {case}')
     print(json.dumps({'case': f'vmem_unlock_{case}', **out}), flush=True)

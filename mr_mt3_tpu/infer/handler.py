@@ -224,17 +224,28 @@ class InferenceHandler:
     def _call_sizes(self, n_real: int, floor: int,
                     capped: bool) -> list:
         """Device-call sizes for a leading axis of n_real rows: one
-        pow2-bucketed call normally; under the fused 64-row per-call
-        compile ceiling, full-cap calls plus a pow2-bucketed remainder
-        (so the remainder reuses standard bucket shapes instead of
-        padding the whole batch to a cap multiple). Every size is a
-        multiple of the data axis."""
+        pow2-bucketed call normally; under the fused per-call cap,
+        full-cap calls plus a pow2-bucketed remainder (so the remainder
+        reuses standard bucket shapes instead of padding the whole batch
+        to a cap multiple). Every size is a multiple of the data axis.
+
+        The cap is encoder-length-aware: short-encoder calls take the
+        64-row compile ceiling (in-trace groups-of-8 IMPROVE aggregate
+        throughput there, 148 -> 203 RTF — PERF.md), but at the segmem
+        encoder-append shape (Lenc=320, cache chunk 512) grouping HURTS
+        — measured 195.2 RTF per 8-row call vs 188.6 at 4 groups and
+        167.6 at 8 groups (benchmarks/dev_fused_vmem_unlock.py), the
+        bigger-VMEM kernels leaving XLA no room to overlap group work —
+        so those calls stay single-group."""
         def bucket(n):
             return _round_up(max(floor, _pow2_bucket(n)), self.n_data)
         if not capped:
             return [bucket(n_real)]
         from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
-        cap = 8 * FUSED_MAX_BATCH * self.n_data
+        rows = (FUSED_MAX_BATCH
+                if self.cfg.segmem_variant == 'encoder_append'
+                else 8 * FUSED_MAX_BATCH)
+        cap = rows * self.n_data
         if bucket(n_real) <= cap:
             return [bucket(n_real)]
         sizes = [cap] * (n_real // cap)

@@ -464,15 +464,29 @@ class TestPow2Bucketing:
                    [(n.pitch, n.start_time) for n in ns.notes]
 
     def test_call_sizes(self):
-        """Fused calls past the 64-row ceiling split into full-cap calls
+        """Fused calls past the per-call cap split into full-cap calls
         plus a pow2-bucketed remainder (no near-2x padding), all sizes
-        from the standard bucket set."""
+        from the standard bucket set. The cap is encoder-length-aware:
+        8 rows (single group) for encoder_append segmem models — in-trace
+        grouping LOSES at the chunk-512 Lenc=320 shape (195.2 RTF per
+        8-row call vs 167.6 at 8 groups, PERF.md) — and the 64-row
+        compile ceiling for short-encoder models, where grouping wins."""
         h = _segmem_handler(max_length=8, batch_size=2)
         assert h._call_sizes(3, floor=4, capped=True) == [4]
-        assert h._call_sizes(65, floor=4, capped=True) == [64, 4]
-        assert h._call_sizes(150, floor=4, capped=True) == [64, 64, 32]
+        assert h._call_sizes(65, floor=4, capped=True) == [8] * 8 + [4]
+        assert h._call_sizes(150, floor=4, capped=True) == [8] * 19
         assert h._call_sizes(65, floor=4, capped=False) == [68]
         assert h._call_sizes(1, floor=1, capped=True) == [1]
+        # short-encoder (vanilla) handlers keep the 64-row group ceiling
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        hv = InferenceHandler(model=model, variables=variables,
+                              max_length=8, quantize='fused')
+        assert hv._call_sizes(65, floor=4, capped=True) == [64, 4]
+        assert hv._call_sizes(150, floor=4, capped=True) == [64, 64, 32]
 
     def test_pow2_bucket_values(self):
         from mr_mt3_tpu.infer.handler import _pow2_bucket
