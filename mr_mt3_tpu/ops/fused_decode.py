@@ -374,13 +374,16 @@ def chunk_base_for(lenc: int, single_group: bool = False) -> int:
     8x8 worst-case): single-group 135.4 (chunk 128) -> 166.9 (256) ->
     195.2 RTF (512); 4 unrolled groups (B=32) 142.2 -> 173.9 -> 188.6.
     single_group (a call of <= FUSED_MAX_BATCH rows that is NOT one of
-    several unrolled groups) DOUBLES the short-encoder chunk to 512:
-    half the grid iterations, measured 145.6 -> 159.0 RTF at B=8 — but
-    grouped short-encoder calls keep 256 (8 unrolled 512-chunk kernels
-    measured 174.1 vs 202.8 RTF at B=64; PERF.md)."""
-    if lenc > 256:
-        return CHUNK * 2
-    return CHUNK * 2 if single_group else CHUNK
+    several unrolled groups) goes further: the WHOLE worst-case decode in
+    one 1024-position chunk — zero dead-chunk grid steps, and the
+    full-width masked flash dot costs less than the grid steps it
+    replaces (measured B=8 159-164 (chunk 512) -> 166.2 (1024); segmem
+    lockstep 195.2 -> 197.9). Grouped short-encoder calls keep 256
+    (8 unrolled 512-chunk kernels measured 174.1 vs 202.8 RTF at B=64;
+    PERF.md)."""
+    if single_group:
+        return CHUNK * 4
+    return CHUNK * 2 if lenc > 256 else CHUNK
 
 
 def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False):
