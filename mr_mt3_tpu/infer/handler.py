@@ -373,8 +373,9 @@ class InferenceHandler:
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         # pow2 shape bucketing (see _pow2_bucket); with a mesh the chain
-        # axis also tiles 'data'. Fused mode groups chains in-trace up to
-        # its 64-row per-call compile ceiling; beyond that, full-cap
+        # axis also tiles 'data'. Fused mode splits past the per-call cap
+        # (_call_sizes: 8 rows for these encoder_append chains — in-trace
+        # grouping loses at the chunk-512 segmem shape) with full-cap
         # device calls plus a pow2-bucketed remainder call (the remainder
         # reuses the standard bucket shapes instead of padding the whole
         # batch up to a cap multiple).
@@ -458,8 +459,9 @@ class InferenceHandler:
                 stacked[i, :m.shape[0]] = m
             # pow2 song bucketing (one compiled shape per bucket; padded
             # songs are masked and cost zero decode steps) + the mesh's
-            # data-axis tiling; fused mode splits past its 64-row
-            # per-call compile ceiling with a pow2-bucketed remainder
+            # data-axis tiling; fused mode splits past the per-call cap
+            # (_call_sizes: 8 songs for encoder_append lockstep, 64 rows
+            # otherwise) with a pow2-bucketed remainder
             n_songs = len(mels)
             capped = self.quantize in ('fused', 'fused_bf16')
             sizes = self._call_sizes(n_songs, floor=1, capped=capped)

@@ -40,18 +40,27 @@ def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
 
 def quantize_probe(handler):
     """Decode the probe batch through the handler's quantized path AND an
-    exact-bf16 twin; return (flipped_tokens, total_tokens)."""
+    exact-bf16 twin; return (flipped_tokens, total_tokens).
+
+    The exact-side tokens are cached on the handler: they depend only on
+    the weights and config, which do not change across the demotion
+    ladder's re-probes (resolve_auto_quantize), so each further tier
+    pays only its own quantized decode — not a rebuilt exact twin and
+    its 100-320 s program startup."""
     from mr_mt3_tpu.infer.handler import InferenceHandler
     mel = probe_mel(handler)
     quant = handler._decode_all(mel)
-    exact_twin = InferenceHandler(
-        model=handler.model, variables=handler.variables,
-        mel_norm=handler.mel_norm,
-        contiguous_inference=handler.contiguous_inference,
-        batch_size=handler.batch_size, max_length=handler.max_length,
-        segment_bucket=handler.segment_bucket, quantize='none',
-        mesh=handler.mesh)
-    exact = exact_twin._decode_all(mel)
+    exact = getattr(handler, '_probe_exact_tokens', None)
+    if exact is None:
+        exact_twin = InferenceHandler(
+            model=handler.model, variables=handler.variables,
+            mel_norm=handler.mel_norm,
+            contiguous_inference=handler.contiguous_inference,
+            batch_size=handler.batch_size, max_length=handler.max_length,
+            segment_bucket=handler.segment_bucket, quantize='none',
+            mesh=handler.mesh)
+        exact = exact_twin._decode_all(mel)
+        handler._probe_exact_tokens = exact
     return int(np.sum(quant != exact)), int(quant.size)
 
 
@@ -77,8 +86,9 @@ def resolve_auto_quantize(handler, verbose: bool = True,
     if handler.quantize == 'none':
         return info
 
-    def demote(reason: str):
-        nxt = _NEXT_TIER.get(handler.quantize, 'none')
+    def demote(reason: str, to: str = None):
+        nxt = to if to is not None else _NEXT_TIER.get(handler.quantize,
+                                                       'none')
         if verbose:
             print(f'quantize={handler.quantize!r} demoted to {nxt!r}: '
                   f'{reason}')
@@ -91,14 +101,8 @@ def resolve_auto_quantize(handler, verbose: bool = True,
     if handler.cfg.segmem_variant == 'decoder_prepend':
         # no megakernel path at all for the v1 decoder-prepend prefill —
         # straight to exact numerics, skipping the ladder
-        if verbose:
-            print(f'quantize={handler.quantize!r} demoted to exact '
-                  'numerics: decoder_prepend models have no quantized '
-                  'decode path')
-        handler.quantize = 'none'
-        handler._decode_fn = None
-        handler._segmem_fn = None
-        handler._segmem_fn_local = None
+        demote('decoder_prepend models have no quantized decode path',
+               to='none')
         info['quantize'] = 'none'
         return info
     while handler.quantize != 'none':

@@ -190,8 +190,9 @@ def init_fused_cache(cfg: MT3Config, batch: int, max_len: int,
                      exact: bool = False) -> Dict[str, jnp.ndarray]:
     """Head-major int8 self-KV cache: kq/vq (L, H, B, dk, P) + per-position
     f32 scales ks/vs (L, H, B, P). exact=True (fused_bf16) stores bf16
-    rows; the scale arrays stay (as ones) so the kernel's operand
-    structure is mode-independent."""
+    rows; the scale arrays remain as UNUSED placeholders (the exact-mode
+    kernel math never reads them) so the kernel's operand structure is
+    mode-independent."""
     l, h, dk = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
     shape = (l, h, batch, dk, max_len)
     sshape = (l, h, batch, max_len)
@@ -532,7 +533,12 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
     """One greedy step through the megakernel.
 
     tokens (B,) int32 -> (logits (B, vocab), updated cache). dp supplies
-    the embedding/pos-table/final-norm/lm_head leaves (DecodeParams)."""
+    the embedding/pos-table/final-norm/lm_head leaves (DecodeParams).
+    On real TPU the batch must be a multiple of 8: gather_heads
+    lane-concatenates per-head (batch, dk) blocks, and sub-tile sublane
+    offsets hit Mosaic's 'offset mismatch on non-concat dimension'
+    (greedy_loop_fused pads for the window kernel; direct callers of
+    this per-step kernel pad themselves)."""
     heads, d_kv, d_model = cfg.num_heads, cfg.d_kv, cfg.d_model
     inner = cfg.inner_dim
     n_layers = cfg.num_decoder_layers
@@ -630,6 +636,8 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
     logits, kq_row, ks_row, vq_row, vs_row = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=FUSED_VMEM_LIMIT),
         out_shape=[
             jax.ShapeDtypeStruct((batch, cfg.vocab_size), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, heads * batch, d_kv), kv_dtype),

@@ -121,10 +121,13 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             probe_fn=lambda h: quantize_probe(h)))
         info['probe_seconds'] = round(time.monotonic() - t0, 1)
         if handler.quantize != before:
+            # info['probe_flips'] is the LAST probe (possibly the clean
+            # one that stopped the ladder) — the demotion reasons carry
+            # the flip counts that caused each step down
+            why = '; '.join(info.get('demotions', []))
             print(f'WARNING: quantize={before!r} demoted to '
-                  f'{handler.quantize!r} for serving '
-                  f'(flips={info.get("probe_flips")}, '
-                  f'error={info.get("probe_error")})', file=sys.stderr)
+                  f'{handler.quantize!r} for serving ({why})',
+                  file=sys.stderr)
     if prewarm:
         from mr_mt3_tpu.infer.handler import _pow2_bucket, _round_up
         from mr_mt3_tpu.infer.probe import probe_audio

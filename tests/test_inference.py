@@ -562,6 +562,23 @@ class TestAutoQuantize:
         assert handler.quantize == 'fused'
         assert info['probe_flips'] == 0
 
+    def test_probe_caches_exact_tokens_across_ladder(self):
+        """The exact-side decode depends only on weights/config, so the
+        ladder's re-probes must reuse it instead of rebuilding the exact
+        twin (and re-paying its program startup) at every tier."""
+        from mr_mt3_tpu.infer.probe import quantize_probe
+        handler = self._handler('fused')
+        flips1, total1 = quantize_probe(handler)
+        cached = handler._probe_exact_tokens
+        assert cached is not None
+        # a second probe (as the ladder issues after a demotion) must
+        # reuse the same exact tokens object
+        handler.quantize = 'fused_bf16'
+        handler._decode_fn = None
+        flips2, total2 = quantize_probe(handler)
+        assert handler._probe_exact_tokens is cached
+        assert total2 == total1
+
     def test_decoder_prepend_demoted_without_probe(self):
         """v1 (decoder_prepend) has no quantized decode path; 'auto'
         must demote to exact numerics instead of crashing the probe."""
