@@ -11,6 +11,8 @@ models emit EOS far earlier, so real RTF is higher):
      parity model). The B=8 latency configuration is reported in extra.
      Falls back to the bf16 XLA path at batch 128 if the kernel fails to
      compile on the target.
+  (extras also record fused_bf16 at B=8 — the probe ladder's
+  exact-numerics megakernel tier.)
   2. bf16_b128 — the exact-numerics bf16 XLA path at its best batch; this
      is the PARITY-BEARING path (what eval uses by default), reported
      first-class with its own stats.
@@ -120,6 +122,16 @@ def main():
         segmem = measure_segmem('none')
         segmem_mode = 'bf16'
 
+    # the probe ladder's middle tier (quantize='fused_bf16'): the
+    # unquantized megakernel at the serving latency batch — recorded per
+    # round so a regression in the exact-numerics fallback is visible
+    fused_bf16_b8 = None
+    if mode.startswith('megakernel'):
+        try:
+            fused_bf16_b8 = measure_vanilla(8, 'fused_bf16', reps=6)
+        except Exception:  # pragma: no cover
+            pass
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'benchmarks', 'baseline_torch_cpu.json')
     vs_baseline = None
@@ -138,6 +150,7 @@ def main():
         'extra': {
             'headline': headline,
             'fused_b8_latency': fused_b8,
+            'fused_bf16_b8': fused_bf16_b8,
             'bf16_exact_b128': bf16_b128,
             'segmem_lockstep': segmem,
             'segmem_lockstep_config': f'{songs} songs x {segs} segments, '

@@ -507,16 +507,28 @@ class TestFusedProductionScale:
         cache = init_fused_cache(FULL_CFG, 2, 256)
         ck = precompute_cross_kv_stacked(dp, FULL_CFG, enc)
         c_ref = init_cache_stacked(FULL_CFG, 2, 256, dtype=jnp.float32)
+        fp_x = pack_fused_params(params, FULL_CFG, exact=True)
+        cross_x = precompute_cross_kv_fused(dp, FULL_CFG, enc, exact=True)
+        cache_x = init_fused_cache(FULL_CFG, 2, 256, exact=True)
         toks = [jnp.array([3, 900], jnp.int32), jnp.array([1100, 7],
                                                           jnp.int32)]
         for step, t in enumerate(toks):
             got, cache = fused_decode_step(FULL_CFG, fp, dp, t,
                                            jnp.int32(step), cache, cross,
                                            interpret=True)
+            got_x, cache_x = fused_decode_step(FULL_CFG, fp_x, dp, t,
+                                               jnp.int32(step), cache_x,
+                                               cross_x, interpret=True)
             want, c_ref = decode_step_fast(FULL_CFG, dp, t,
                                            jnp.int32(step), c_ref, ck)
-            rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+            scale = float(jnp.abs(want).max())
+            rel = float(jnp.abs(got - want).max()) / scale
             assert rel < 0.05, f'step {step}: rel err {rel}'
+            # the unquantized (fused_bf16) tier at production dims: pure
+            # bf16 rounding, an order of magnitude under the int8 error
+            rel_x = float(jnp.abs(got_x - want).max()) / scale
+            assert rel_x < 0.01, f'step {step}: bf16 rel err {rel_x}'
+            assert rel_x < rel, f'step {step}: bf16 not tighter than int8'
 
 
 class TestFusedBf16:
@@ -564,6 +576,26 @@ class TestFusedBf16:
                                         quantize='fused_bf16'))
         assert toks.shape == (2, 13)
         assert (toks[:, 0] == 0).all()
+
+    def test_segmem_chained_runs_fused_bf16(self):
+        """The ladder can demote a segmem serving handler to fused_bf16;
+        the chained decode path must run under it (same shapes/caps as
+        'fused', bf16 cache plumbing throughout)."""
+        from mr_mt3_tpu.infer import InferenceHandler
+        scfg = SMALL_CFG.replace(segmem_variant='encoder_append',
+                                 segmem_length=4)
+        model = MT3(scfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
+            targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=2,
+                                   quantize='fused_bf16')
+        rng = np.random.default_rng(0)
+        mel = rng.normal(size=(6, 8, scfg.mel_bins)).astype(np.float32)
+        tokens = handler._decode_all(mel)
+        assert tokens.shape == (6, 9)
 
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),
