@@ -254,20 +254,27 @@ def make_server(handler, port: int, info=None):
     stats_lock = threading.Lock()
 
     def decode_audio(body: bytes):
+        import struct
+
         import numpy as np
-        if body[:4] == b'fLaC':
-            from mr_mt3_tpu.native.flac import decode_flac_bytes
-            samples, sr = decode_flac_bytes(body)
-            samples = samples.mean(axis=1)
-        elif body[:4] == b'RIFF':
-            import tempfile
-            from mr_mt3_tpu.audio import read_wav
-            with tempfile.NamedTemporaryFile(suffix='.wav') as f:
-                f.write(body)
-                f.flush()
-                samples, sr = read_wav(f.name)
-        else:
-            raise ValueError('body must be WAV or FLAC bytes')
+        try:
+            if body[:4] == b'fLaC':
+                from mr_mt3_tpu.native.flac import decode_flac_bytes
+                samples, sr = decode_flac_bytes(body)
+                samples = samples.mean(axis=1)
+            elif body[:4] == b'RIFF':
+                import tempfile
+                from mr_mt3_tpu.audio import read_wav
+                with tempfile.NamedTemporaryFile(suffix='.wav') as f:
+                    f.write(body)
+                    f.flush()
+                    samples, sr = read_wav(f.name)
+            else:
+                raise ValueError('body must be WAV or FLAC bytes')
+        except (struct.error, IndexError, KeyError) as e:
+            # truncated/corrupt containers surface as parse errors from
+            # the struct-based readers — client data, so 400 not 500
+            raise ValueError(f'malformed audio container: {e!r}')
         if sr != 16000:
             samples = resample(samples, sr, 16000)
         return samples.astype(np.float32)
@@ -294,7 +301,11 @@ def make_server(handler, port: int, info=None):
             if self.path not in ('/transcribe', '/transcribe.json'):
                 self._reply(404, b'not found', 'text/plain')
                 return
-            length = int(self.headers.get('Content-Length', 0))
+            try:
+                length = int(self.headers.get('Content-Length') or 0)
+            except ValueError:
+                self._reply(400, b'bad Content-Length', 'text/plain')
+                return
             body = self.rfile.read(length)
             try:
                 audio = decode_audio(body)

@@ -95,6 +95,16 @@ class TestServer:
         assert status == 400
         assert b'WAV or FLAC' in body
 
+    def test_malformed_wav_400(self, server):
+        """Bytes with a RIFF magic but a truncated/corrupt body must come
+        back 400 (struct parse errors are client data, not 500s)."""
+        for payload in (b'RIFF',                         # magic only
+                        b'RIFF\x10\x00\x00\x00WAVE',     # no fmt/data
+                        b'RIFF\xff\xff\xff\xffWAVEfmt '  # truncated fmt
+                        + b'\x10\x00\x00\x00\x01\x00'):
+            status, body, _ = _post(server + '/transcribe', payload)
+            assert status == 400, payload[:16]
+
     def test_malformed_flac_400(self, server):
         """Bytes with a fLaC magic but corrupt internals must come back as
         a clean 4xx, not a crashed worker (the native decoder rejects
