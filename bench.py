@@ -4,15 +4,17 @@ Three workloads, all worst-case full-1024-step greedy decodes (trained
 models emit EOS far earlier, so real RTF is higher):
 
   1. headline — the 46M MT3 model decoding through the whole-decoder
-     Pallas megakernel (quantize='fused': int8 weights + int8 KV + 32-token
-     windows, ops/fused_decode.py) at batch 64 = eight groups-of-8
-     unrolled in one trace (aggregate throughput IMPROVES with batch:
-     148 RTF at B=8 -> 203 at B=64 — PERF.md; zero token flips on the
-     parity model). The B=8 latency configuration is reported in extra.
-     Falls back to the bf16 XLA path at batch 128 if the kernel fails to
-     compile on the target.
-  (extras also record fused_bf16 at B=8 — the probe ladder's
-  exact-numerics megakernel tier.)
+     Pallas megakernel at the SERVING DEFAULT tier (quantize='fused_int4':
+     int4 weights + int4 KV + 32-token windows, ops/fused_decode.py —
+     the kernel is HBM-bandwidth-saturated, so int4's halved bytes are
+     the fastest tier; zero token flips on the parity model, probe-ladder
+     guarded on real weights) at batch 64 = eight groups-of-8 unrolled in
+     one trace. The B=8 latency configuration is reported in extra.
+     Falls back to int8 ('fused'), then the bf16 XLA path at batch 128,
+     if a kernel fails to compile on the target.
+  (extras also record the int8 tier at B=64 — round-over-round
+  continuity with the pre-int4 headline — and fused_bf16 at B=8, the
+  probe ladder's exact-numerics megakernel tier.)
   2. bf16_b128 — the exact-numerics bf16 XLA path at its best batch; this
      is the PARITY-BEARING path (what eval uses by default), reported
      first-class with its own stats.
@@ -74,20 +76,30 @@ def main():
         return rtf_of(stats, batch * 256 * 128 / 16000)
 
     # ---- headline: fused megakernel, 8 groups-of-8 in one trace ----
-    mode = "megakernel quantize='fused' int8, batch 64 (groups of 8)"
+    mode = "megakernel quantize='fused_int4', batch 64 (groups of 8)"
     fused_b8 = None
+    int8_b64 = None
     try:
         if jax.default_backend() != 'tpu':
             # off-TPU the kernel would silently run INTERPRETED (hours,
             # not minutes) rather than fail — force the bf16 fallback
             raise RuntimeError('fused megakernel requires a TPU backend')
-        headline = measure_vanilla(64, 'fused', reps=8)
+        headline = measure_vanilla(64, 'fused_int4', reps=8)
         # the small-batch latency configuration
-        fused_b8 = measure_vanilla(8, 'fused', reps=12)
+        fused_b8 = measure_vanilla(8, 'fused_int4', reps=12)
+        # the int8 tier at the headline batch (pre-int4 continuity)
+        int8_b64 = measure_vanilla(64, 'fused', reps=6)
     except Exception as err:  # pragma: no cover - target-specific
-        print(f'# fused megakernel unavailable ({err!r}); bf16 fallback')
-        mode = 'bf16 XLA, batch 128'
-        headline = measure_vanilla(128, 'none', reps=8)
+        print(f'# int4 megakernel unavailable ({err!r}); trying int8')
+        try:
+            mode = "megakernel quantize='fused' int8, batch 64 (groups of 8)"
+            headline = measure_vanilla(64, 'fused', reps=8)
+            fused_b8 = measure_vanilla(8, 'fused', reps=12)
+        except Exception as err2:  # pragma: no cover - target-specific
+            print(f'# fused megakernel unavailable ({err2!r}); '
+                  'bf16 fallback')
+            mode = 'bf16 XLA, batch 128'
+            headline = measure_vanilla(128, 'none', reps=8)
 
     # ---- first-class: the exact-numerics (parity-bearing) bf16 path ----
     if mode.startswith('bf16'):
@@ -116,8 +128,12 @@ def main():
     try:
         if jax.default_backend() != 'tpu':
             raise RuntimeError('fused megakernel requires a TPU backend')
-        segmem = measure_segmem('fused')
-        segmem_mode = 'fused'
+        try:
+            segmem = measure_segmem('fused_int4')
+            segmem_mode = 'fused_int4'
+        except Exception:  # pragma: no cover - target-specific
+            segmem = measure_segmem('fused')
+            segmem_mode = 'fused'
     except Exception:  # pragma: no cover
         segmem = measure_segmem('none')
         segmem_mode = 'bf16'
@@ -150,6 +166,7 @@ def main():
         'extra': {
             'headline': headline,
             'fused_b8_latency': fused_b8,
+            'fused_int8_b64': int8_b64,
             'fused_bf16_b8': fused_bf16_b8,
             'bf16_exact_b128': bf16_b128,
             'segmem_lockstep': segmem,

@@ -13,7 +13,10 @@ Each config runs in its OWN process (Mosaic failures can be fatal):
     python benchmarks/dev_fused_bf16.py <case>
 with case one of: b8, b64, segmem, b8_int8, b64_int8, segmem_int8,
 b128_xla (the exact-numerics XLA body's best batch, the incumbent the
-bf16 kernel must beat). Prints one JSON line; compile failure prints an
+bf16 kernel must beat), and the int4 tier (b8_int4, b64_int4,
+segmem_int4 — the decode roofline says the int8 kernel is
+HBM-bandwidth-saturated, so halving the streamed bytes is the one
+remaining lever). Prints one JSON line; compile failure prints an
 error line, exit 0.
 """
 
@@ -99,6 +102,12 @@ def main(case: str):
         out = _measure_vanilla(64, 'fused')
     elif case == 'segmem_int8':
         out = _measure_segmem('fused')
+    elif case == 'b8_int4':
+        out = _measure_vanilla(8, 'fused_int4')
+    elif case == 'b64_int4':
+        out = _measure_vanilla(64, 'fused_int4')
+    elif case == 'segmem_int4':
+        out = _measure_segmem('fused_int4')
     elif case == 'b128_xla':
         out = _measure_vanilla(128, 'none', reps=4)
     else:

@@ -119,8 +119,10 @@ class InferenceHandler:
         # in one launch per step (small-batch latency mode,
         # ops/fused_decode.py). Both perturb logits slightly.
         # 'fused_bf16': the same megakernel unquantized (bf16 weights/KV,
-        # f32 accumulation) — exact-numerics class, the middle tier of
-        # the probe ladder (infer/probe.py).
+        # f32 accumulation) — exact-numerics class, a middle tier of
+        # the probe ladder (infer/probe.py: int4 -> int8 -> bf16 -> none).
+        # 'fused_int4': int4 weights + KV — halves the streamed bytes of
+        # the bandwidth-saturated kernel at ~18x int8's rounding error.
         self.quantize = quantize
         # Data-parallel decode over a ('data', 'model') jax mesh: the
         # decode batch (segments / memory chains / lockstep songs) shards
@@ -332,7 +334,7 @@ class InferenceHandler:
         # independent — unlike the segmem chain paths, this grouping has
         # no semantics.
         b = self.batch_size * self.n_data
-        if self.quantize in ('fused', 'fused_bf16'):
+        if self.quantize.startswith('fused'):
             from mr_mt3_tpu.ops.fused_decode import FUSED_MAX_BATCH
             b = min(b, 8 * FUSED_MAX_BATCH * self.n_data)
         outs = []
@@ -380,7 +382,7 @@ class InferenceHandler:
         # reuses the standard bucket shapes instead of padding the whole
         # batch up to a cap multiple).
         n_real = len(all_chunks)
-        capped = self.quantize in ('fused', 'fused_bf16')
+        capped = self.quantize.startswith('fused')
         sizes = self._call_sizes(n_real, floor=4, capped=capped)
         padded_chains = sum(sizes)
         stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
@@ -463,7 +465,7 @@ class InferenceHandler:
             # (_call_sizes: 8 songs for encoder_append lockstep, 64 rows
             # otherwise) with a pow2-bucketed remainder
             n_songs = len(mels)
-            capped = self.quantize in ('fused', 'fused_bf16')
+            capped = self.quantize.startswith('fused')
             sizes = self._call_sizes(n_songs, floor=1, capped=capped)
             target_songs = sum(sizes)
             if target_songs != stacked.shape[0]:

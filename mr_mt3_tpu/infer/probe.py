@@ -68,7 +68,7 @@ def quantize_probe(handler):
 # bf16 megakernel (same launch structure, exact-numerics class, still
 # ~1.5x the XLA body) before giving up megakernel speed entirely; every
 # other quantized mode falls straight to exact XLA bf16.
-_NEXT_TIER = {'fused': 'fused_bf16'}
+_NEXT_TIER = {'fused_int4': 'fused', 'fused': 'fused_bf16'}
 
 
 def resolve_auto_quantize(handler, verbose: bool = True,

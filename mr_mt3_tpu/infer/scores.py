@@ -100,7 +100,8 @@ def get_scores(
     """
     import jax
     if quantize == 'auto':
-        quantize = 'fused' if jax.default_backend() == 'tpu' else 'none'
+        quantize = ('fused_int4' if jax.default_backend() == 'tpu'
+                    else 'none')
         probe_guard = quantize != 'none'
     else:
         probe_guard = False

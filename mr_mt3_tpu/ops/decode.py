@@ -127,16 +127,21 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                   bf16 KV, bf16 MXU contractions with f32 accumulation —
                   the XLA bf16 body's numerics class at megakernel
                   launch cost (a middle tier between 'none' and 'fused').
+      'fused_int4' — the megakernel with int4 weights AND int4 KV:
+                  halves the HBM bytes the bandwidth-saturated kernel
+                  streams (PERF.md roofline) at ~18x the int8 rounding
+                  error; guarded by the probe ladder (int4 -> int8 ->
+                  bf16 -> exact).
     """
     if quantize not in ('none', 'int8', 'int8_kv', 'fused',
-                        'fused_bf16'):
+                        'fused_bf16', 'fused_int4'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(
             variables['params'], model.cfg,
-            quantize=quantize
-            if quantize in ('int8', 'fused', 'fused_bf16') else 'none')
+            quantize=quantize if quantize in (
+                'int8', 'fused', 'fused_bf16', 'fused_int4') else 'none')
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
                                 quantize=quantize, valid_mask=valid_mask)
     if quantize != 'none':
@@ -201,7 +206,7 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
     if quantize not in ('none', 'int8', 'int8_kv', 'fused',
-                        'fused_bf16'):
+                        'fused_bf16', 'fused_int4'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
     use_fast = cfg.segmem_variant != 'decoder_prepend'
     if not use_fast and quantize != 'none':
@@ -210,7 +215,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     dp = (stack_decode_params(
         variables['params'], cfg,
         quantize=quantize
-        if quantize in ('int8', 'fused', 'fused_bf16') else 'none')
+        if quantize in ('int8', 'fused', 'fused_bf16', 'fused_int4')
+        else 'none')
         if use_fast else None)
     # encode all segments in one batched pass (the reference also encodes
     # up-front: models/t5_segmem_v2_with_prev.py:228-233)

@@ -56,10 +56,12 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
     lm_head = jnp.asarray(params['lm_head']['kernel'], dtype)
     lm_head_q = lm_head_scale = None
     fused = None
-    if quantize in ('fused', 'fused_bf16'):
+    if quantize in ('fused', 'fused_bf16', 'fused_int4'):
         from mr_mt3_tpu.ops.fused_decode import pack_fused_params
         fused = pack_fused_params(params, cfg,
-                                  exact=quantize == 'fused_bf16')
+                                  exact=quantize == 'fused_bf16',
+                                  wbits=4 if quantize == 'fused_int4'
+                                  else 8)
         # the megakernel holds every decoder weight in int8 (FusedParams;
         # bf16 with 'fused_bf16');
         # the fused driver reads only the cross-attn K/V kernels from the
@@ -365,7 +367,7 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
     """
     batch = encoder_out.shape[0]
     int8_kv = quantize == 'int8_kv'
-    fused = quantize in ('fused', 'fused_bf16')
+    fused = quantize in ('fused', 'fused_bf16', 'fused_int4')
     if int8_kv and kv_layout != 'bhdk':
         raise ValueError("quantize='int8_kv' requires kv_layout='bhdk' "
                          '(per-position scales quantize over the Dk axis)')
@@ -513,9 +515,13 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         return -(-bound // chunk_base) * chunk_base
 
     exact = dp.fused.wqkv.dtype == jnp.bfloat16   # quantize='fused_bf16'
-    cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out, exact=exact)
+    qmax = 7 if dp.fused.wqkv.dtype == jnp.int4 else 127
+    kv_dtype = jnp.bfloat16 if exact else (
+        jnp.int4 if qmax == 7 else jnp.int8)
+    cross_kv = precompute_cross_kv_fused(dp, cfg, encoder_out, exact=exact,
+                                         qmax=qmax)
     cache = init_fused_cache(cfg, batch, cache_len_for(bounds[0]),
-                             exact=exact)
+                             kv_dtype=kv_dtype)
     tokens = jnp.full((batch, ml_eff + 1), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     # alignment-padding rows (zero encoder) may never emit EOS; marking

@@ -139,15 +139,33 @@ class FusedParams(NamedTuple):
     lm_s: jnp.ndarray     # (1, vocab) f32
 
 
+def quantize_columns_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-column int4 quantization (codes in [-7, 7]).
+
+    Same formula as ops/int8_matmul.quantize_columns with qmax 7; HALVES
+    the weight bytes the HBM-bandwidth-saturated megakernel streams
+    (PERF.md decode roofline) at ~18x the int8 rounding error."""
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                        1e-12) / 7.0
+    codes = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int4)
+    return codes, scale.astype(jnp.float32)
+
+
 def pack_fused_params(params: Dict[str, Any], cfg: MT3Config,
-                      exact: bool = False) -> FusedParams:
+                      exact: bool = False, wbits: int = 8) -> FusedParams:
     """Quantize the decoder blocks for the megakernel.
 
     Quantizes from the original (typically fp32) weights, matching
     stack_decode_params' int8 mode. exact=True (quantize='fused_bf16')
     stores bf16 weights with unit scales instead — the megakernel then
-    runs unquantized, matching the XLA bf16 body's numerics class. The
-    kernel detects the mode from the weight dtype."""
+    runs unquantized, matching the XLA bf16 body's numerics class.
+    wbits=4 (quantize='fused_int4') stores int4 codes, halving the
+    streamed weight bytes. The kernel detects the mode from the weight
+    dtype."""
+    if exact and wbits != 8:
+        raise ValueError('exact and wbits=4 are mutually exclusive')
+    if wbits not in (4, 8):
+        raise ValueError(f'wbits must be 4 or 8, got {wbits}')
     blocks = [params['decoder'][f'block_{i}']
               for i in range(cfg.num_decoder_layers)]
 
@@ -161,7 +179,14 @@ def pack_fused_params(params: Dict[str, Any], cfg: MT3Config,
         return (w.astype(jnp.bfloat16),
                 jnp.ones((1, w.shape[1]), jnp.float32))
 
-    qcols = bf16_columns if exact else quantize_columns
+    if exact:
+        qcols = bf16_columns
+    elif wbits == 4:
+        # jitted: eager int4 array creation is broken on the axon TPU
+        # plugin (recursion in the eager path); compiled it is fine
+        qcols = jax.jit(quantize_columns_int4)
+    else:
+        qcols = quantize_columns
 
     wqkv, sqkv = stacked(lambda b: qcols(jnp.concatenate(
         [f32(b['self_attn']['q']), f32(b['self_attn']['k']),
@@ -187,16 +212,19 @@ def pack_fused_params(params: Dict[str, Any], cfg: MT3Config,
 
 
 def init_fused_cache(cfg: MT3Config, batch: int, max_len: int,
-                     exact: bool = False) -> Dict[str, jnp.ndarray]:
+                     exact: bool = False,
+                     kv_dtype=None) -> Dict[str, jnp.ndarray]:
     """Head-major int8 self-KV cache: kq/vq (L, H, B, dk, P) + per-position
     f32 scales ks/vs (L, H, B, P). exact=True (fused_bf16) stores bf16
     rows; the scale arrays remain as UNUSED placeholders (the exact-mode
     kernel math never reads them) so the kernel's operand structure is
-    mode-independent."""
+    mode-independent. kv_dtype overrides the cache dtype explicitly
+    (jnp.int4 for quantize='fused_int4')."""
     l, h, dk = cfg.num_decoder_layers, cfg.num_heads, cfg.d_kv
     shape = (l, h, batch, dk, max_len)
     sshape = (l, h, batch, max_len)
-    kv_dtype = jnp.bfloat16 if exact else jnp.int8
+    if kv_dtype is None:
+        kv_dtype = jnp.bfloat16 if exact else jnp.int8
     return {'kq': jnp.zeros(shape, kv_dtype),
             'ks': jnp.zeros(sshape, jnp.float32),
             'vq': jnp.zeros(shape, kv_dtype),
@@ -205,12 +233,14 @@ def init_fused_cache(cfg: MT3Config, batch: int, max_len: int,
 
 def precompute_cross_kv_fused(dp, cfg: MT3Config,
                               encoder_out: jnp.ndarray,
-                              exact: bool = False
+                              exact: bool = False,
+                              qmax: int = 127
                               ) -> Dict[str, jnp.ndarray]:
     """Encoder K/V for all layers, quantized int8 head-major.
 
     dp: DecodeParams (for the stacked cross_attn k/v kernels).
-    exact=True (fused_bf16) keeps bf16 K/V with unit scales."""
+    exact=True (fused_bf16) keeps bf16 K/V with unit scales; qmax=7
+    (fused_int4) stores int4 codes."""
     from mr_mt3_tpu.ops.fast_decode import precompute_cross_kv_stacked
     k, v = precompute_cross_kv_stacked(dp, cfg, encoder_out,
                                        kv_layout='bhdk')  # (L,B,H,dk,Lenc)
@@ -224,11 +254,12 @@ def precompute_cross_kv_fused(dp, cfg: MT3Config,
                 'cvs': jnp.ones(sshape, jnp.float32)}
     k = k.astype(jnp.float32)
     v = v.astype(jnp.float32)
+    dtype = jnp.int4 if qmax == 7 else jnp.int8
     # per-position scales (over dk, axis -2)
-    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), 1e-12) / 127.0
-    vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-2), 1e-12) / 127.0
-    kq = jnp.clip(jnp.round(k / ks[..., None, :]), -127, 127).astype(jnp.int8)
-    vq = jnp.clip(jnp.round(v / vs[..., None, :]), -127, 127).astype(jnp.int8)
+    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), 1e-12) / qmax
+    vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-2), 1e-12) / qmax
+    kq = jnp.clip(jnp.round(k / ks[..., None, :]), -qmax, qmax).astype(dtype)
+    vq = jnp.clip(jnp.round(v / vs[..., None, :]), -qmax, qmax).astype(dtype)
     return {'ckq': kq, 'cks': ks, 'cvq': vq, 'cvs': vs}
 
 
@@ -237,16 +268,23 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return weight * (x * jax.lax.rsqrt(var + eps))
 
 
-def _math_helpers(cfg: MT3Config, batch: int, exact: bool = False):
+def _math_helpers(cfg: MT3Config, batch: int, exact: bool = False,
+                  qmax: int = 127):
     """Shared in-kernel math for the step and window kernels.
 
     exact=True is the quantize='fused_bf16' mode: weights, KV caches and
     cross-KV are bf16 (scales are unit-valued and ignored), the attention
     contractions are bf16 MXU dots with f32 accumulation, and no
     re-quantization happens anywhere — the same numerics class as the
-    XLA bf16 decode body, at megakernel launch cost."""
+    XLA bf16 decode body, at megakernel launch cost.
+
+    qmax=7 is the quantize='fused_int4' mode: KV rows are stored as int4
+    codes in [-7, 7] (merge_hb widens them to int8 in-register for the
+    MXU dots — the HBM bytes are already halved by then); q/probs keep
+    their per-row int8 quantization."""
     heads, d_kv = cfg.num_heads, cfg.d_kv
     hb = heads * batch
+    kv_dtype = jnp.int4 if qmax == 7 else jnp.int8
 
     def scores_vpu(q: jnp.ndarray, kq_hb, ks_hb) -> jnp.ndarray:
         """q (HB, dk) f32 x int8 K (HB, dk, K) -> (HB, K) f32 scores.
@@ -344,21 +382,26 @@ def _math_helpers(cfg: MT3Config, batch: int, exact: bool = False):
             axis=1)
 
     def merge_hb(ref):
-        """(1, H, B, ...) block -> (HB, ...) leading-dim merge."""
+        """(1, H, B, ...) block -> (HB, ...) leading-dim merge.
+
+        int4 blocks (fused_int4 KV) widen to int8 in-register for the
+        MXU dots; the HBM traffic was already paid at int4 width."""
         block = ref[0]
+        if block.dtype == jnp.int4:
+            block = block.astype(jnp.int8)
         return block.reshape((hb,) + block.shape[2:])
 
     def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(HB, dk) f32 -> (int8 codes, per-row f32 scale); in exact mode
-        (bf16 rows, unit scale) — the scale keeps its operand slot so the
-        kernel structure is mode-independent."""
+        """(HB, dk) f32 -> (int8/int4 codes, per-row f32 scale); in exact
+        mode (bf16 rows, unit scale) — the scale keeps its operand slot
+        so the kernel structure is mode-independent."""
         if exact:
             return x.astype(jnp.bfloat16), jnp.ones((x.shape[0], 1),
                                                     jnp.float32)
         scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
-                            1e-12) / 127.0
+                            1e-12) / qmax
         return jnp.clip(jnp.round(x / scale),
-                        -127, 127).astype(jnp.int8), scale
+                        -qmax, qmax).astype(kv_dtype), scale
 
     return (int8_scores, int8_values, int8_proj, scatter_heads,
             gather_heads, merge_hb, quantize_rows)
@@ -387,13 +430,15 @@ def chunk_base_for(lenc: int, single_group: bool = False) -> int:
     return CHUNK * 2 if lenc > 256 else CHUNK
 
 
-def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False):
+def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False,
+               qmax: int = 127):
     """Shared layer-body sections for the step and window kernels.
 
     Both kernels MUST keep identical math here — any fix applies to both
     by construction."""
     (int8_scores, int8_values, int8_proj, scatter_heads, gather_heads,
-     merge_hb, quantize_rows) = _math_helpers(cfg, batch, exact=exact)
+     merge_hb, quantize_rows) = _math_helpers(cfg, batch, exact=exact,
+                                              qmax=qmax)
     inner, d_kv, d_ff = cfg.inner_dim, cfg.d_kv, cfg.d_ff
     eps = cfg.layer_norm_epsilon
     hb = cfg.num_heads * batch
@@ -456,12 +501,13 @@ def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False):
 
 
 def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
-                 lenc: int, exact: bool = False):
+                 lenc: int, exact: bool = False, qmax: int = 127):
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
     (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
                                                              exact=exact)
-    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact,
+                                                    qmax=qmax)
 
     def kernel(pos_ref, x_ref,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -630,8 +676,11 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
         ],
     )
     exact = fp.wqkv.dtype == jnp.bfloat16
-    kv_dtype = jnp.bfloat16 if exact else jnp.int8
-    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc, exact=exact)
+    qmax = 7 if fp.wqkv.dtype == jnp.int4 else 127
+    kv_dtype = jnp.bfloat16 if exact else (
+        jnp.int4 if qmax == 7 else jnp.int8)
+    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc, exact=exact,
+                          qmax=qmax)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
     logits, kq_row, ks_row, vq_row, vs_row = pl.pallas_call(
         kernel,
@@ -685,14 +734,15 @@ FUSED_WINDOW = 32
 
 def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
                         n_chunks: int, lenc: int, t_window: int,
-                        exact: bool = False):
+                        exact: bool = False, qmax: int = 127):
     vocab = cfg.vocab_size
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
     pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
     (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
                                                              exact=exact)
-    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact)
+    qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact,
+                                                    qmax=qmax)
 
     def kernel(pos_ref, tokens_in, finished_in, embed, pos_rows,
                wqkv, sqkv, wo, so, wqc, sqc, woc, soc,
@@ -920,9 +970,11 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
         ],
     )
     exact = fp.wqkv.dtype == jnp.bfloat16
-    kv_dtype = jnp.bfloat16 if exact else jnp.int8
+    qmax = 7 if fp.wqkv.dtype == jnp.int4 else 127
+    kv_dtype = jnp.bfloat16 if exact else (
+        jnp.int4 if qmax == 7 else jnp.int8)
     kernel = _make_window_kernel(cfg, batch, chunk, n_chunks, lenc,
-                                 t_window, exact=exact)
+                                 t_window, exact=exact, qmax=qmax)
     toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -55,21 +55,23 @@ def build_handler(argv):
         variables = {'params': builders.init_params(model)}
         mel_norm = True
 
-    # the whole-decoder megakernel is the serving default on TPU (~1.3x
-    # the bf16 path at the serving batch, 1.5x at the grouped eval batch
-    # — PERF.md; zero token flips on the parity model).
-    # eval.quantize=none opts back into exact bf16 numerics. (On CPU the
-    # kernel would run interpreted — keep the XLA path there.)
+    # the whole-decoder megakernel at int4 is the serving default on TPU
+    # (the kernel is HBM-bandwidth-saturated, so int4's halved bytes are
+    # the fastest tier: 184/200/236 RTF at B=8/B=64/segmem vs int8's
+    # 168/176/196 same-session — PERF.md; zero token flips on the parity
+    # model). eval.quantize=none opts back into exact bf16 numerics. (On
+    # CPU the kernel would run interpreted — keep the XLA path there.)
     # prepare_handler() guards the default: any probe-token flip vs
-    # exact bf16 falls back before traffic is served.
+    # exact bf16 demotes one tier (int4 -> int8 -> bf16 -> exact XLA)
+    # before traffic is served.
     import jax
     on_tpu = jax.default_backend() == 'tpu'
     quantize = str(cfg.eval.get('quantize')
-                   or ('fused' if on_tpu else 'none'))
+                   or ('fused_int4' if on_tpu else 'none'))
     if quantize == 'auto':
         # same resolution as eval (infer/scores.py): megakernel on TPU,
         # guarded by prepare_handler's probe; exact bf16 elsewhere
-        quantize = 'fused' if on_tpu else 'none'
+        quantize = 'fused_int4' if on_tpu else 'none'
     # multi-chip serving: shard decode batches over every visible chip
     # (devices: <n> limits the data axis, like train.py/test.py)
     n_dev = int(cfg.get('devices') or len(jax.devices()))

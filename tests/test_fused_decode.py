@@ -626,6 +626,80 @@ class TestFusedBf16:
             f'{flips}/{golden.size} tokens flipped under fused_bf16'
 
 
+class TestFusedInt4:
+    """quantize='fused_int4': int4 weights + int4 KV — halves the HBM
+    bytes of the bandwidth-saturated megakernel (PERF.md roofline)."""
+
+    def test_step_bounded_vs_int8(self):
+        """int4's step error is bounded: larger than int8's (coarser
+        codes) but the same order — the quantization grid is 18x coarser,
+        not broken."""
+        model, variables, dp, fp_i8, enc, cross_i8, cache_i8 = _small_setup()
+        fp = pack_fused_params(variables['params'], SMALL_CFG, wbits=4)
+        assert fp.wqkv.dtype == jnp.int4
+        cross = precompute_cross_kv_fused(dp, SMALL_CFG, enc, qmax=7)
+        cache = init_fused_cache(SMALL_CFG, 2, 16, kv_dtype=jnp.int4)
+        ck = precompute_cross_kv_stacked(dp, SMALL_CFG, enc)
+        c_ref = init_cache_stacked(SMALL_CFG, 2, 16, dtype=jnp.float32)
+        toks = [jnp.array([3, 5], jnp.int32), jnp.array([7, 9], jnp.int32)]
+        for step, t in enumerate(toks):
+            got, cache = fused_decode_step(SMALL_CFG, fp, dp, t,
+                                           jnp.int32(step), cache, cross,
+                                           interpret=True)
+            got_i8, cache_i8 = fused_decode_step(SMALL_CFG, fp_i8, dp, t,
+                                                 jnp.int32(step), cache_i8,
+                                                 cross_i8, interpret=True)
+            want, c_ref = decode_step_fast(SMALL_CFG, dp, t,
+                                           jnp.int32(step), c_ref, ck)
+            scale = float(jnp.abs(want).max())
+            rel = float(jnp.abs(got - want).max()) / scale
+            rel_i8 = float(jnp.abs(got_i8 - want).max()) / scale
+            assert rel < 0.6, f'step {step}: int4 rel err {rel}'
+            assert rel > rel_i8, \
+                f'step {step}: int4 ({rel}) unexpectedly tighter than int8'
+
+    def test_greedy_decode_fused_int4_runs(self):
+        model = MT3(SMALL_CFG)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        mel = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 8, 16)), jnp.float32)
+        toks = np.asarray(greedy_decode(model, variables, mel,
+                                        max_length=12,
+                                        quantize='fused_int4'))
+        assert toks.shape == (2, 13)
+        assert (toks[:, 0] == 0).all()
+
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_vanilla.npz')),
+        reason='parity goldens missing')
+    def test_fused_int4_zero_flips_on_parity_model(self):
+        """int4 weights + int4 KV still clear the overfit parity model's
+        ~2.0 decode margin — zero flips (real checkpoints with thinner
+        margins may flip; the probe ladder guards them)."""
+        from tests.parity_common import (
+            VANILLA_CFG,
+            load_golden,
+            parity_corpus,
+        )
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_vanilla.npz')
+        model = MT3(VANILLA_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   batch_size=4, quantize='fused_int4')
+        segments, _, valid = handler._audio_to_segments(audios[0])
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        golden = np.asarray(meta['tokens'][0])
+        flips = int((tokens != golden).sum())
+        assert flips == 0, \
+            f'{flips}/{golden.size} tokens flipped under fused_int4'
+
+
 class TestFusedAccuracy:
     @pytest.mark.skipif(
         not os.path.exists(os.path.join(os.path.dirname(__file__),

@@ -539,6 +539,19 @@ class TestAutoQuantize:
         assert info['probe_tokens'] == 50
         assert len(info['demotions']) == 2
 
+    def test_resolve_auto_full_ladder_from_int4(self, monkeypatch):
+        """Starting at fused_int4, flips at every tier walk
+        int4 -> int8 -> bf16 -> none."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused_int4')
+        tiers = []
+        monkeypatch.setattr(probe_mod, 'quantize_probe',
+                            lambda h: tiers.append(h.quantize) or (1, 50))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert tiers == ['fused_int4', 'fused', 'fused_bf16']
+        assert handler.quantize == 'none'
+        assert len(info['demotions']) == 3
+
     def test_resolve_auto_ladder_stops_at_bf16(self, monkeypatch):
         """An int8 flip with a clean bf16 megakernel keeps megakernel
         speed at exact numerics instead of falling to the XLA body."""
