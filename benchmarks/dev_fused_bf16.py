@@ -53,7 +53,7 @@ def _measure_vanilla(batch, quantize, reps=6):
             'spread': round(stats['spread'], 3)}
 
 
-def _measure_segmem(quantize, reps=6):
+def _measure_segmem(quantize, reps=6, batch=8):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,7 @@ def _measure_segmem(quantize, reps=6):
     from mr_mt3_tpu.ops.decode import segmem_greedy_decode
     from mr_mt3_tpu.utils.bench_helpers import time_stats, zero_variables
 
-    n_segments, batch, max_length = 8, 8, 1024
+    n_segments, max_length = 8, 1024
     rng = np.random.default_rng(0)
     cfg = MT3Config(dtype='bfloat16', segmem_variant='encoder_append',
                     segmem_length=64)
@@ -108,6 +108,12 @@ def main(case: str):
         out = _measure_vanilla(64, 'fused_int4')
     elif case == 'segmem_int4':
         out = _measure_segmem('fused_int4')
+    elif case == 'segmem_int4_b32':
+        # does the segmem grouping inversion (PERF.md: grouping loses at
+        # the chunk-512 shape under int8) still hold with int4's halved
+        # VMEM blocks? Bypass the handler cap by calling the decode
+        # directly at a grouped batch.
+        out = _measure_segmem('fused_int4', batch=32)
     elif case == 'b128_xla':
         out = _measure_vanilla(128, 'none', reps=4)
     else:
