@@ -85,21 +85,29 @@ def main():
             # not minutes) rather than fail — force the bf16 fallback
             raise RuntimeError('fused megakernel requires a TPU backend')
         headline = measure_vanilla(64, 'fused_int4', reps=8)
-        # the small-batch latency configuration
-        fused_b8 = measure_vanilla(8, 'fused_int4', reps=12)
-        # the int8 tier at the headline batch (pre-int4 continuity)
-        int8_b64 = measure_vanilla(64, 'fused', reps=6)
     except Exception as err:  # pragma: no cover - target-specific
         print(f'# int4 megakernel unavailable ({err!r}); trying int8')
         try:
             mode = "megakernel quantize='fused' int8, batch 64 (groups of 8)"
             headline = measure_vanilla(64, 'fused', reps=8)
-            fused_b8 = measure_vanilla(8, 'fused', reps=12)
         except Exception as err2:  # pragma: no cover - target-specific
             print(f'# fused megakernel unavailable ({err2!r}); '
                   'bf16 fallback')
             mode = 'bf16 XLA, batch 128'
             headline = measure_vanilla(128, 'none', reps=8)
+    # diagnostic extras in their own trys: a failure here must not
+    # discard an already-successful headline
+    if mode.startswith('megakernel'):
+        tier = 'fused_int4' if 'int4' in mode else 'fused'
+        try:  # the small-batch latency configuration
+            fused_b8 = measure_vanilla(8, tier, reps=12)
+        except Exception:  # pragma: no cover - target-specific
+            pass
+        if tier == 'fused_int4':
+            try:  # the int8 tier at the headline batch (continuity)
+                int8_b64 = measure_vanilla(64, 'fused', reps=6)
+            except Exception:  # pragma: no cover - target-specific
+                pass
 
     # ---- first-class: the exact-numerics (parity-bearing) bf16 path ----
     if mode.startswith('bf16'):

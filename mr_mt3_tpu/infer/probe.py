@@ -64,21 +64,23 @@ def quantize_probe(handler):
     return int(np.sum(quant != exact)), int(quant.size)
 
 
-# demotion ladder: the int8 megakernel falls back to the UNQUANTIZED
-# bf16 megakernel (same launch structure, exact-numerics class, still
-# ~1.5x the XLA body) before giving up megakernel speed entirely; every
-# other quantized mode falls straight to exact XLA bf16.
+# demotion ladder, top to bottom: int4 megakernel (the TPU serving
+# default — halved streamed bytes on the bandwidth-saturated kernel) ->
+# int8 megakernel -> UNQUANTIZED bf16 megakernel (same launch structure,
+# exact-numerics class, still ~2x the XLA body at small batch) -> exact
+# XLA body. Every other quantized mode falls straight to 'none'.
 _NEXT_TIER = {'fused_int4': 'fused', 'fused': 'fused_bf16'}
 
 
 def resolve_auto_quantize(handler, verbose: bool = True,
                           probe_fn=None) -> dict:
     """Probe-guard a handler whose quantize mode is set: any token flip —
-    or any probe failure — demotes it one tier ('fused' -> 'fused_bf16'
-    -> 'none'; other modes -> 'none') and re-probes until a tier matches
-    exact bf16 token-for-token (or 'none' is reached). Returns an info
-    dict {quantize, probe_flips, probe_tokens[, probe_error, demotions]};
-    probe_flips/probe_tokens are from the LAST probe run.
+    or any probe failure — demotes it one tier ('fused_int4' -> 'fused'
+    -> 'fused_bf16' -> 'none'; other modes -> 'none') and re-probes until
+    a tier matches exact bf16 token-for-token (or 'none' is reached).
+    Returns an info dict {quantize, probe_flips, probe_tokens[,
+    probe_error, demotions]}; probe_flips/probe_tokens are from the LAST
+    probe run.
 
     probe_fn: override for the probe (serve.py passes its own
     monkeypatchable entry point)."""

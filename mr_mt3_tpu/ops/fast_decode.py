@@ -451,7 +451,7 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         # Checked BEFORE 8-row alignment so the error reports the
         # caller's own batch size.
         raise ValueError(
-            f"quantize='fused' supports at most {8 * FUSED_MAX_BATCH} "
+            f'fused decode modes support at most {8 * FUSED_MAX_BATCH} '
             f'rows per call (got {batch})')
     # the kernel's per-head sublane slicing needs 8-row-aligned batch
     # blocks (Mosaic cannot lane-concat sub-tile-offset vectors); pad

@@ -504,8 +504,8 @@ def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
                  lenc: int, exact: bool = False, qmax: int = 127):
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
-    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
-                                                             exact=exact)
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(
+        cfg, batch, exact=exact, qmax=qmax)
     qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact,
                                                     qmax=qmax)
 
@@ -739,8 +739,8 @@ def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
     pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
-    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch,
-                                                             exact=exact)
+    (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(
+        cfg, batch, exact=exact, qmax=qmax)
     qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch, exact=exact,
                                                     qmax=qmax)
 

@@ -308,6 +308,12 @@ def make_server(handler, port: int, info=None):
             except ValueError:
                 self._reply(400, b'bad Content-Length', 'text/plain')
                 return
+            # negative would make rfile.read() block until EOF (thread
+            # DoS on keep-alive sockets); the cap bounds the in-memory
+            # body (1 GB ~ 9 hours of 16 kHz float32 audio)
+            if length < 0 or length > 1 << 30:
+                self._reply(400, b'bad Content-Length', 'text/plain')
+                return
             body = self.rfile.read(length)
             try:
                 audio = decode_audio(body)
