@@ -95,6 +95,23 @@ class TestServer:
         assert status == 400
         assert b'WAV or FLAC' in body
 
+    def test_negative_content_length_400(self, server):
+        """A negative Content-Length must be rejected up front: passing
+        it to rfile.read() would block until EOF and hang the worker
+        thread for as long as the client holds the socket open."""
+        import socket
+        from urllib.parse import urlparse
+        u = urlparse(server)
+        for bad in ('-1', str(1 << 31)):
+            with socket.create_connection((u.hostname, u.port),
+                                          timeout=30) as s:
+                s.sendall((f'POST /transcribe HTTP/1.1\r\n'
+                           f'Host: {u.hostname}\r\n'
+                           f'Content-Length: {bad}\r\n'
+                           f'Connection: close\r\n\r\n').encode())
+                reply = s.recv(4096).decode(errors='replace')
+            assert ' 400 ' in reply.split('\r\n')[0], (bad, reply[:80])
+
     def test_malformed_wav_400(self, server):
         """Bytes with a RIFF magic but a truncated/corrupt body must come
         back 400 (struct parse errors are client data, not 500s)."""
