@@ -510,6 +510,9 @@ class TestFusedProductionScale:
         fp_x = pack_fused_params(params, FULL_CFG, exact=True)
         cross_x = precompute_cross_kv_fused(dp, FULL_CFG, enc, exact=True)
         cache_x = init_fused_cache(FULL_CFG, 2, 256, exact=True)
+        fp_4 = pack_fused_params(params, FULL_CFG, wbits=4)
+        cross_4 = precompute_cross_kv_fused(dp, FULL_CFG, enc, qmax=7)
+        cache_4 = init_fused_cache(FULL_CFG, 2, 256, kv_dtype=jnp.int4)
         toks = [jnp.array([3, 900], jnp.int32), jnp.array([1100, 7],
                                                           jnp.int32)]
         for step, t in enumerate(toks):
@@ -519,6 +522,9 @@ class TestFusedProductionScale:
             got_x, cache_x = fused_decode_step(FULL_CFG, fp_x, dp, t,
                                                jnp.int32(step), cache_x,
                                                cross_x, interpret=True)
+            got_4, cache_4 = fused_decode_step(FULL_CFG, fp_4, dp, t,
+                                               jnp.int32(step), cache_4,
+                                               cross_4, interpret=True)
             want, c_ref = decode_step_fast(FULL_CFG, dp, t,
                                            jnp.int32(step), c_ref, ck)
             scale = float(jnp.abs(want).max())
@@ -529,6 +535,11 @@ class TestFusedProductionScale:
             rel_x = float(jnp.abs(got_x - want).max()) / scale
             assert rel_x < 0.01, f'step {step}: bf16 rel err {rel_x}'
             assert rel_x < rel, f'step {step}: bf16 not tighter than int8'
+            # the int4 serving default at production dims: bounded by the
+            # ~18x-coarser grid, ordered between int8 and nonsense
+            rel_4 = float(jnp.abs(got_4 - want).max()) / scale
+            assert rel_4 < 0.6, f'step {step}: int4 rel err {rel_4}'
+            assert rel_4 > rel, f'step {step}: int4 tighter than int8?'
 
 
 class TestFusedBf16:
