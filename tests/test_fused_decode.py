@@ -710,6 +710,36 @@ class TestFusedInt4:
         assert flips == 0, \
             f'{flips}/{golden.size} tokens flipped under fused_int4'
 
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(os.path.dirname(__file__),
+                                        'goldens', 'parity_withprev.npz')),
+        reason='parity goldens missing')
+    def test_fused_int4_zero_flips_on_withprev_lockstep(self):
+        """The FLAGSHIP path under the serving default: segmem
+        with-prev contiguous lockstep decode at int4 stays
+        token-identical to the frozen golden."""
+        from tests.parity_common import (
+            WITHPREV_CFG,
+            load_golden,
+            parity_corpus,
+        )
+        from mr_mt3_tpu.infer import InferenceHandler
+        params, meta = load_golden('parity_withprev.npz')
+        model = MT3(WITHPREV_CFG)
+        audios, _ = parity_corpus()
+        handler = InferenceHandler(model=model, variables={'params': params},
+                                   max_length=int(meta['max_length']),
+                                   contiguous_inference=True,
+                                   segment_bucket=1,
+                                   quantize='fused_int4')
+        audio, golden = audios[0], np.asarray(meta['tokens'][0])
+        segments, _, valid = handler._audio_to_segments(audio)
+        mel = handler._compute_mel(segments, valid)
+        tokens = handler._decode_all(mel)
+        flips = int((tokens != golden).sum())
+        assert flips == 0, \
+            f'{flips}/{golden.size} lockstep tokens flipped under int4'
+
 
 class TestFusedAccuracy:
     @pytest.mark.skipif(
