@@ -194,6 +194,31 @@ def main():
         'onset_f1': round(vscores.get('Onset F1', 0.0), 4),
     }))
 
+    # ---- the serving default on a REAL TRAINED 46M checkpoint ----
+    # quantize='auto' resolves to fused_int4 on TPU and runs the probe
+    # ladder against exact bf16 on these actual trained weights: this is
+    # the end-to-end answer to "does a real checkpoint keep int4 speed,
+    # and does F1 survive?" (the parity-model tests answer it for the
+    # overfit parity margin; this is the full product path).
+    handler_auto = InferenceHandler(
+        model=vmodel, variables={'params': vstate.params},
+        max_length=256, quantize='fused_int4')
+    from mr_mt3_tpu.infer.probe import resolve_auto_quantize
+    pinfo = resolve_auto_quantize(handler_auto, verbose=True)
+    ascores = get_scores(
+        handler=handler_auto,
+        eval_audio_dir=files, eval_dataset='Slakh',
+        exp_tag_name=os.path.join(tmp, 'amidis'),
+        ground_truth_midi_dir=corpus_root, max_length=256, verbose=False)
+    print(json.dumps({
+        'model': 'vanilla_46m_quantize_auto',
+        'resolved_tier': pinfo['quantize'],
+        'probe_flips': pinfo.get('probe_flips'),
+        'demotions': pinfo.get('demotions', []),
+        'onset_f1': round(ascores.get('Onset F1', 0.0), 4),
+        'exact_onset_f1': round(vscores.get('Onset F1', 0.0), 4),
+    }))
+
 
 if __name__ == '__main__':
     main()
