@@ -23,8 +23,6 @@ sys.path.insert(0, '.')
 
 def main(cap_rows: int):
     import jax
-    import jax.numpy as jnp
-
     import mr_mt3_tpu.infer.handler as handler_mod
     from mr_mt3_tpu.infer import InferenceHandler
     from mr_mt3_tpu.models import MT3, MT3Config
