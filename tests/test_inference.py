@@ -394,11 +394,14 @@ class TestMeshHandler:
         np.testing.assert_array_equal(local._decode_all(mel),
                                       sharded._decode_all(mel))
 
-    def test_fused_under_mesh_matches_local_fused(self):
+    @pytest.mark.parametrize('quantize', ['fused', 'fused_int4'])
+    def test_fused_under_mesh_matches_local_fused(self, quantize):
         """The v5e-8 production serving config: megakernel decode with
         the batch sharded over the data axis (each chip runs the full
         Pallas program on its slice). Must match the unsharded fused
-        path token-for-token (interpret-mode kernels on the CPU mesh)."""
+        path token-for-token (interpret-mode kernels on the CPU mesh).
+        The int4 tier additionally exercises pack_fused_params' nested
+        jit (quantize_columns_int4) inside the handler's shard_map."""
         from mr_mt3_tpu.parallel import make_mesh
         small = SMALL.replace(d_model=32, num_heads=4, d_kv=8, d_ff=48)
         model = MT3(small)
@@ -408,7 +411,7 @@ class TestMeshHandler:
                                                            jnp.int32))
         mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
         kw = dict(model=model, variables=variables, max_length=8,
-                  batch_size=2, quantize='fused')
+                  batch_size=2, quantize=quantize)
         local = InferenceHandler(**kw)
         sharded = InferenceHandler(mesh=mesh, **kw)
         mel = np.random.default_rng(5).normal(
