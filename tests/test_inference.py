@@ -420,7 +420,11 @@ class TestMeshHandler:
         np.testing.assert_array_equal(local._decode_all(mel),
                                       sharded._decode_all(mel))
 
-    def test_contiguous_lockstep_songs_match(self):
+    @pytest.mark.parametrize('quantize', ['none', 'fused_int4'])
+    def test_contiguous_lockstep_songs_match(self, quantize):
+        """Flagship eval config under a mesh: contiguous segmem lockstep
+        ('none' = the exact eval default; 'fused_int4' = the serving
+        default tier) must match the unsharded handler note-for-note."""
         from mr_mt3_tpu.parallel import make_mesh
         mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
         cfg = SMALL.replace(segmem_variant='encoder_append',
@@ -433,7 +437,7 @@ class TestMeshHandler:
                                targets_prev=jnp.zeros((1, 4), jnp.int32))
         kw = dict(model=model, variables=variables, max_length=8,
                   batch_size=2, contiguous_inference=True,
-                  segment_bucket=4)
+                  segment_bucket=4, quantize=quantize)
         local = InferenceHandler(**kw)
         sharded = InferenceHandler(mesh=mesh, **kw)
         rng = np.random.default_rng(4)
