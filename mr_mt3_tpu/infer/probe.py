@@ -38,28 +38,56 @@ def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
     return handler._compute_mel(segments, valid)
 
 
-def quantize_probe(handler):
+# Probe decodes run at a SHORT max_length: program startup on this
+# platform scales with program size (a 1024-step decode carries 3 cache
+# phases and 4x the loop trip count), and the probe's job — counting
+# quantization-induced argmax flips on the actual weights — does not
+# need the full serving length: per-step rounding error is independent
+# of position, trained checkpoints emit EOS long before 256 steps, and
+# random/near-uniform weights flip within the first tokens (measured
+# ladder: int4 1740/3075 flips — PERF.md). Probing short means every
+# LOSING ladder tier and the exact twin pay only a small program's
+# startup; the winning tier's full-length serving program is compiled
+# once, by prepare_handler's prewarm.
+PROBE_MAX_LENGTH = 256
+
+
+def _probe_twin(handler, quantize: str, max_length: int):
+    """A handler sharing `handler`'s weights/config but with the given
+    quantize mode and (short) decode length."""
+    from mr_mt3_tpu.infer.handler import InferenceHandler
+    return InferenceHandler(
+        model=handler.model, variables=handler.variables,
+        mel_norm=handler.mel_norm,
+        contiguous_inference=handler.contiguous_inference,
+        batch_size=handler.batch_size, max_length=max_length,
+        segment_bucket=handler.segment_bucket, quantize=quantize,
+        mesh=handler.mesh)
+
+
+def quantize_probe(handler, max_length: int = None):
     """Decode the probe batch through the handler's quantized path AND an
-    exact-bf16 twin; return (flipped_tokens, total_tokens).
+    exact-bf16 twin, both at the short probe length; return
+    (flipped_tokens, total_tokens).
 
     The exact-side tokens are cached on the handler: they depend only on
     the weights and config, which do not change across the demotion
     ladder's re-probes (resolve_auto_quantize), so each further tier
-    pays only its own quantized decode — not a rebuilt exact twin and
-    its 100-320 s program startup."""
-    from mr_mt3_tpu.infer.handler import InferenceHandler
+    pays only its own quantized decode — not a rebuilt exact twin.
+
+    Caveat worth knowing: the quantized twin's short program may pick a
+    different KV-cache chunking than the full serving program, so
+    attention accumulation order can differ in the last float bit — the
+    flips the probe counts are the weight/KV rounding the ladder guards
+    against, not a bit-exact replay of the serving program."""
+    max_length = (min(handler.max_length, PROBE_MAX_LENGTH)
+                  if max_length is None else max_length)
     mel = probe_mel(handler)
-    quant = handler._decode_all(mel)
+    quant = _probe_twin(handler, handler.quantize,
+                        max_length)._decode_all(mel)
     exact = getattr(handler, '_probe_exact_tokens', None)
-    if exact is None:
-        exact_twin = InferenceHandler(
-            model=handler.model, variables=handler.variables,
-            mel_norm=handler.mel_norm,
-            contiguous_inference=handler.contiguous_inference,
-            batch_size=handler.batch_size, max_length=handler.max_length,
-            segment_bucket=handler.segment_bucket, quantize='none',
-            mesh=handler.mesh)
-        exact = exact_twin._decode_all(mel)
+    if exact is None or exact.shape != quant.shape:
+        exact = _probe_twin(handler, 'none', max_length)._decode_all(mel)
         handler._probe_exact_tokens = exact
     return int(np.sum(quant != exact)), int(quant.size)
 

@@ -112,25 +112,50 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
        probing entry point.
     2. prewarm: compile-and-run the serving decode program so the first
        request does not pay the 100-320 s program startup (PERF.md).
+
+    Probes run SHORT (infer/probe.PROBE_MAX_LENGTH) so losing ladder
+    tiers never pay a full-length program's startup; the winning tier's
+    full-length program is compiled here by the prewarm — and if that
+    full-length compile fails (a ceiling the short probe cannot see),
+    the failure demotes one tier and the ladder resumes, so the guard
+    stays total.
     """
+    from mr_mt3_tpu.infer import probe as probe_mod
+
+    def demote_tier(reason: str):
+        nxt = probe_mod._NEXT_TIER.get(handler.quantize, 'none')
+        print(f'WARNING: quantize={handler.quantize!r} demoted to '
+              f'{nxt!r} for serving ({reason})', file=sys.stderr)
+        info.setdefault('demotions', []).append(reason)
+        handler.quantize = nxt
+        handler._decode_fn = None
+        handler._segmem_fn = None
+        handler._segmem_fn_local = None
+
     info = {'quantize': handler.quantize, 'prewarmed': False}
-    if probe and handler.quantize != 'none':
-        from mr_mt3_tpu.infer.probe import resolve_auto_quantize
-        t0 = time.monotonic()
-        before = handler.quantize
-        info.update(resolve_auto_quantize(
-            handler, verbose=False,
-            probe_fn=lambda h: quantize_probe(h)))
-        info['probe_seconds'] = round(time.monotonic() - t0, 1)
-        if handler.quantize != before:
-            # info['probe_flips'] is the LAST probe (possibly the clean
-            # one that stopped the ladder) — the demotion reasons carry
-            # the flip counts that caused each step down
-            why = '; '.join(info.get('demotions', []))
-            print(f'WARNING: quantize={before!r} demoted to '
-                  f'{handler.quantize!r} for serving ({why})',
-                  file=sys.stderr)
-    if prewarm:
+    while True:
+        if probe and handler.quantize != 'none':
+            t0 = time.monotonic()
+            before = handler.quantize
+            demoted_before = len(info.get('demotions', []))
+            probed = probe_mod.resolve_auto_quantize(
+                handler, verbose=False,
+                probe_fn=lambda h: quantize_probe(h))
+            info.setdefault('demotions', []).extend(
+                probed.pop('demotions', []))
+            info.update(probed)
+            info['probe_seconds'] = round(
+                info.get('probe_seconds', 0.0) + time.monotonic() - t0, 1)
+            if handler.quantize != before:
+                # info['probe_flips'] is the LAST probe (possibly the
+                # clean one that stopped the ladder) — the demotion
+                # reasons carry the flip counts behind each step down
+                why = '; '.join(info['demotions'][demoted_before:])
+                print(f'WARNING: quantize={before!r} demoted to '
+                      f'{handler.quantize!r} for serving ({why})',
+                      file=sys.stderr)
+        if not prewarm:
+            break
         from mr_mt3_tpu.infer.handler import _pow2_bucket, _round_up
         from mr_mt3_tpu.infer.probe import probe_audio
         t0 = time.monotonic()
@@ -159,11 +184,25 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             if shape not in seen:
                 seen.add(shape)
                 counts.append(k)
-        for k in counts:
-            handler.transcribe_many([audio] * k)
+        try:
+            for k in counts:
+                handler.transcribe_many([audio] * k)
+        except Exception as e:  # noqa: BLE001
+            # the short probe compiles only a small program, so a tier can
+            # probe clean yet fail to compile at the full serving length/
+            # bucket shapes (e.g. a VMEM ceiling on a different target) —
+            # treat that exactly like a probe failure: demote one tier and
+            # re-run the ladder from there. At 'none' there is no further
+            # fallback — surface the real error.
+            if handler.quantize == 'none':
+                raise
+            demote_tier(f'prewarm failed at full length ({e!r})')
+            continue
         info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
         info['prewarmed'] = True
         info['prewarm_buckets'] = counts
+        break
+    info['quantize'] = handler.quantize
     print(f'serving decode path: quantize={handler.quantize!r} '
           f'(probe={info.get("probe_flips", "skipped")} flips, '
           f'prewarmed={info["prewarmed"]})')

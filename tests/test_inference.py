@@ -599,6 +599,20 @@ class TestAutoQuantize:
         assert handler._probe_exact_tokens is cached
         assert total2 == total1
 
+    def test_probe_length_clamps_and_overrides(self):
+        """Probes decode at min(handler.max_length, PROBE_MAX_LENGTH) so
+        losing ladder tiers and the exact twin never pay a full-length
+        program's startup; an explicit max_length overrides."""
+        from mr_mt3_tpu.infer.probe import PROBE_MAX_LENGTH, quantize_probe
+        assert PROBE_MAX_LENGTH < 1024  # the point of the short probe
+        handler = self._handler('fused')  # max_length=12 clamps below it
+        # probe_audio(2) frames into 3 segments (the frame pad adds one)
+        _, total = quantize_probe(handler)
+        assert total == 3 * (12 + 1)  # leading start token per row
+        handler2 = self._handler('fused')
+        _, total2 = quantize_probe(handler2, max_length=4)
+        assert total2 == 3 * (4 + 1)
+
     def test_decoder_prepend_demoted_without_probe(self):
         """v1 (decoder_prepend) has no quantized decode path; 'auto'
         must demote to exact numerics instead of crashing the probe."""

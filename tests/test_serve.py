@@ -273,6 +273,37 @@ class TestQuantizeGuard:
         assert total > 0
         assert 0 <= flips <= total
 
+    def test_prewarm_failure_demotes_tier(self, monkeypatch):
+        """A tier that probes clean at the short length but fails to
+        compile at the full serving length must demote — the short probe
+        cannot see full-length compile ceilings, so the prewarm failure
+        re-enters the ladder instead of crashing startup."""
+        handler = self._handler('fused')
+        monkeypatch.setattr(serve, 'quantize_probe', lambda h: (0, 100))
+        real = InferenceHandler.transcribe_many
+
+        def flaky(self, audios):
+            if handler.quantize == 'fused':
+                raise RuntimeError('VMEM exceeded at full length')
+            return real(self, audios)
+        monkeypatch.setattr(InferenceHandler, 'transcribe_many', flaky)
+        info = serve.prepare_handler(handler)
+        assert handler.quantize == 'fused_bf16'
+        assert info['quantize'] == 'fused_bf16'
+        assert info['prewarmed'] is True
+        assert any('prewarm failed' in d for d in info['demotions'])
+
+    def test_prewarm_failure_at_exact_tier_raises(self, monkeypatch):
+        """At 'none' there is no further fallback; the real error must
+        surface instead of looping."""
+        handler = self._handler('none')
+        monkeypatch.setattr(
+            InferenceHandler, 'transcribe_many',
+            lambda self, audios: (_ for _ in ()).throw(
+                RuntimeError('device lost')))
+        with pytest.raises(RuntimeError, match='device lost'):
+            serve.prepare_handler(handler, probe=False)
+
     def test_prewarm_runs_serving_program(self):
         handler = self._handler('none')
         info = serve.prepare_handler(handler, probe=False)
