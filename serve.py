@@ -316,6 +316,11 @@ def make_server(handler, port: int, info=None):
             # truncated/corrupt containers surface as parse errors from
             # the struct-based readers — client data, so 400 not 500
             raise ValueError(f'malformed audio container: {e!r}')
+        # a corrupt header's sample rate feeds resample_poly, whose filter
+        # design scales with the rate ratio — an absurd rate (e.g. 2^32-1)
+        # would be a memory/CPU DoS, so bound it to plausible audio rates
+        if not 1000 <= sr <= 768000:
+            raise ValueError(f'implausible sample rate: {sr}')
         if sr != 16000:
             samples = resample(samples, sr, 16000)
         return samples.astype(np.float32)

@@ -193,6 +193,45 @@ class TestWavIO:
         with pytest.raises(ValueError):
             read_wav(p)
 
+    def test_truncations_never_crash(self, tmp_path):
+        """Every truncation of a valid file parses or raises a clean
+        parse error (ValueError/struct.error) — serve.py maps those to
+        400s; anything else would 500 (this parser sits behind
+        POST /transcribe)."""
+        import struct
+        full = tmp_path / 'full.wav'
+        write_wav(full, _tone(500), 16000, subtype='PCM_24')
+        data = full.read_bytes()
+        p = tmp_path / 'cut.wav'
+        for cut in [0, 4, 11, 12, 20, 35, 36, 43, 44, len(data) // 2,
+                    len(data) - 1]:
+            p.write_bytes(data[:cut])
+            try:
+                read_wav(p)
+            except (ValueError, struct.error):
+                pass
+
+    def test_deterministic_mutations_never_crash(self, tmp_path):
+        """Random byte stomps on a valid WAV must parse or raise a clean
+        parse error — never segfault, hang, or surprise-allocate (the
+        reader only ever slices the bytes it was handed)."""
+        import struct
+        full = tmp_path / 'full.wav'
+        write_wav(full, _tone(800), 16000, subtype='PCM_16')
+        data = bytearray(full.read_bytes())
+        p = tmp_path / 'corrupt.wav'
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            corrupt = bytearray(data)
+            for _ in range(int(rng.integers(1, 16))):
+                corrupt[int(rng.integers(0, len(corrupt)))] = \
+                    int(rng.integers(0, 256))
+            p.write_bytes(bytes(corrupt))
+            try:
+                read_wav(p)
+            except (ValueError, struct.error):
+                pass
+
     def test_resample_preserves_tone(self):
         sr_in, sr_out = 44100, 16000
         t = np.arange(sr_in) / sr_in

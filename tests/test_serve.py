@@ -122,6 +122,19 @@ class TestServer:
             status, body, _ = _post(server + '/transcribe', payload)
             assert status == 400, payload[:16]
 
+    def test_implausible_sample_rate_400(self, server):
+        """A structurally valid WAV whose header claims a 2^32-1 Hz rate
+        must 400: that rate would otherwise reach resample_poly, whose
+        filter design scales with the rate ratio (memory/CPU DoS)."""
+        import struct
+        payload = (b'RIFF' + struct.pack('<I', 36 + 4) + b'WAVEfmt '
+                   + struct.pack('<IHHIIHH', 16, 1, 1, 0xFFFFFFFF,
+                                 0xFFFFFFFE, 2, 16)
+                   + b'data' + struct.pack('<I', 4) + b'\x00' * 4)
+        status, body, _ = _post(server + '/transcribe', payload)
+        assert status == 400
+        assert b'sample rate' in body
+
     def test_malformed_flac_400(self, server):
         """Bytes with a fLaC magic but corrupt internals must come back as
         a clean 4xx, not a crashed worker (the native decoder rejects
