@@ -156,6 +156,16 @@ class InferenceHandler:
         self._segmem_fn = None
         self._segmem_fn_local = None
 
+    def _invalidate_compiled(self):
+        """Drop every cached compiled decode program. MUST be called
+        whenever a field a compiled program bakes in changes (quantize
+        tier, max_length) — the probe ladder, serve's prewarm demotion,
+        and inference()'s max_length override all route through here so
+        a new cached-program attribute only has one site to join."""
+        self._decode_fn = None
+        self._segmem_fn = None
+        self._segmem_fn_local = None
+
     # ---- host-side preprocessing (reference: inference.py:64-127) ----
 
     def _audio_to_segments(self, audio: np.ndarray):
@@ -508,9 +518,7 @@ class InferenceHandler:
             self.batch_size = batch_size
         if max_length is not None and max_length != self.max_length:
             self.max_length = max_length
-            self._decode_fn = None
-            self._segmem_fn = None
-            self._segmem_fn_local = None
+            self._invalidate_compiled()
         try:
             ns = self.transcribe(audio)
             if outpath is None:

@@ -38,17 +38,22 @@ def probe_mel(handler, num_segments: int = 2) -> np.ndarray:
     return handler._compute_mel(segments, valid)
 
 
-# Probe decodes run at a SHORT max_length: program startup on this
+# Ladder probes run at a SHORT max_length: program startup on this
 # platform scales with program size (a 1024-step decode carries 3 cache
-# phases and 4x the loop trip count), and the probe's job — counting
-# quantization-induced argmax flips on the actual weights — does not
-# need the full serving length: per-step rounding error is independent
-# of position, trained checkpoints emit EOS long before 256 steps, and
-# random/near-uniform weights flip within the first tokens (measured
-# ladder: int4 1740/3075 flips — PERF.md). Probing short means every
-# LOSING ladder tier and the exact twin pay only a small program's
-# startup; the winning tier's full-length serving program is compiled
-# once, by prepare_handler's prewarm.
+# phases and 4x the loop trip count), and short flip-counts reject the
+# losing tiers just as well — random/near-uniform weights flip within
+# the first tokens (measured ladder: int4 1740/3075 flips — PERF.md).
+# The short probe alone is NOT the whole guard: quantized-KV attention
+# error is not position-independent (more cached positions, more
+# accumulated rounding), and a full-length program can hit compile
+# ceilings (VMEM) the short program never sees. So once a quantized
+# tier probes clean at the short length, resolve_auto_quantize runs ONE
+# full-length confirm probe on it — the same two full-length programs
+# (quant + exact twin) the pre-short-probe guard always paid — and any
+# flip or compile failure there demotes as usual. Net: losing tiers pay
+# only short programs (the 1.9x time-to-ready win on a full ladder
+# walk, PERF.md), while the winner is still guarded end-to-end at the
+# serving length.
 PROBE_MAX_LENGTH = 256
 
 
@@ -67,28 +72,30 @@ def _probe_twin(handler, quantize: str, max_length: int):
 
 def quantize_probe(handler, max_length: int = None):
     """Decode the probe batch through the handler's quantized path AND an
-    exact-bf16 twin, both at the short probe length; return
-    (flipped_tokens, total_tokens).
+    exact-bf16 twin at the same length; return
+    (flipped_tokens, total_tokens). max_length=None means the short
+    ladder length (min(handler.max_length, PROBE_MAX_LENGTH));
+    resolve_auto_quantize passes handler.max_length for the winner's
+    full-length confirm.
 
-    The exact-side tokens are cached on the handler: they depend only on
-    the weights and config, which do not change across the demotion
-    ladder's re-probes (resolve_auto_quantize), so each further tier
-    pays only its own quantized decode — not a rebuilt exact twin.
-
-    Caveat worth knowing: the quantized twin's short program may pick a
-    different KV-cache chunking than the full serving program, so
-    attention accumulation order can differ in the last float bit — the
-    flips the probe counts are the weight/KV rounding the ladder guards
-    against, not a bit-exact replay of the serving program."""
+    The exact-side tokens are cached on the handler per decode length:
+    they depend only on the weights and config, which do not change
+    across the demotion ladder's re-probes, so each further tier pays
+    only its own quantized decode — not a rebuilt exact twin (the
+    ladder alternates short probes and full confirms, hence a
+    shape-keyed dict rather than a single slot)."""
     max_length = (min(handler.max_length, PROBE_MAX_LENGTH)
                   if max_length is None else max_length)
     mel = probe_mel(handler)
     quant = _probe_twin(handler, handler.quantize,
                         max_length)._decode_all(mel)
-    exact = getattr(handler, '_probe_exact_tokens', None)
-    if exact is None or exact.shape != quant.shape:
+    cache = getattr(handler, '_probe_exact_tokens', None)
+    if cache is None:
+        cache = handler._probe_exact_tokens = {}
+    exact = cache.get(quant.shape)
+    if exact is None:
         exact = _probe_twin(handler, 'none', max_length)._decode_all(mel)
-        handler._probe_exact_tokens = exact
+        cache[quant.shape] = exact
     return int(np.sum(quant != exact)), int(quant.size)
 
 
@@ -101,17 +108,26 @@ _NEXT_TIER = {'fused_int4': 'fused', 'fused': 'fused_bf16'}
 
 
 def resolve_auto_quantize(handler, verbose: bool = True,
-                          probe_fn=None) -> dict:
+                          probe_fn=None, confirm_full: bool = True) -> dict:
     """Probe-guard a handler whose quantize mode is set: any token flip —
     or any probe failure — demotes it one tier ('fused_int4' -> 'fused'
     -> 'fused_bf16' -> 'none'; other modes -> 'none') and re-probes until
     a tier matches exact bf16 token-for-token (or 'none' is reached).
+    A tier that probes clean at the short ladder length is then
+    confirmed with one probe at the FULL serving length (see the
+    PROBE_MAX_LENGTH note: quantized-KV error grows with cache
+    occupancy, and full-length programs can hit compile ceilings short
+    ones cannot see); a confirm flip or failure demotes the same way.
     Returns an info dict {quantize, probe_flips, probe_tokens[,
-    probe_error, demotions]}; probe_flips/probe_tokens are from the LAST
-    probe run.
+    confirm_flips, confirm_tokens, probe_error, demotions]};
+    probe_flips/probe_tokens are from the LAST probe run.
 
     probe_fn: override for the probe (serve.py passes its own
-    monkeypatchable entry point)."""
+    monkeypatchable entry point). It is called as probe_fn(handler) for
+    short ladder probes and probe_fn(handler, max_length=N) for the
+    full-length confirm.
+    confirm_full=False skips the winner's full-length confirm (callers
+    that only ever decode at or below PROBE_MAX_LENGTH)."""
     info = {'quantize': handler.quantize}
     if handler.quantize == 'none':
         return info
@@ -123,9 +139,7 @@ def resolve_auto_quantize(handler, verbose: bool = True,
             print(f'quantize={handler.quantize!r} demoted to {nxt!r}: '
                   f'{reason}')
         handler.quantize = nxt
-        handler._decode_fn = None
-        handler._segmem_fn = None
-        handler._segmem_fn_local = None
+        handler._invalidate_compiled()
         info.setdefault('demotions', []).append(reason)
 
     if handler.cfg.segmem_variant == 'decoder_prepend':
@@ -144,8 +158,23 @@ def resolve_auto_quantize(handler, verbose: bool = True,
             continue
         info['probe_flips'] = flips
         info['probe_tokens'] = total
-        if not flips:
-            break
-        demote(f'{flips}/{total} probe tokens flipped vs exact bf16')
+        if flips:
+            demote(f'{flips}/{total} probe tokens flipped vs exact bf16')
+            continue
+        if confirm_full and handler.max_length > PROBE_MAX_LENGTH:
+            try:
+                cflips, ctotal = (probe_fn or quantize_probe)(
+                    handler, max_length=handler.max_length)
+            except Exception as e:
+                info['probe_error'] = repr(e)[:200]
+                demote(f'full-length confirm failed ({e!r})')
+                continue
+            info['confirm_flips'] = cflips
+            info['confirm_tokens'] = ctotal
+            if cflips:
+                demote(f'{cflips}/{ctotal} tokens flipped vs exact bf16 '
+                       f'at full length {handler.max_length}')
+                continue
+        break
     info['quantize'] = handler.quantize
     return info

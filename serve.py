@@ -87,15 +87,19 @@ def build_handler(argv):
         mesh=mesh)
 
 
-def quantize_probe(handler):
+def quantize_probe(handler, max_length=None):
     """Decode a probe batch through the handler's quantized path AND an
-    exact-bf16 twin; return (flipped_tokens, total_tokens).
+    exact-bf16 twin; return (flipped_tokens, total_tokens). max_length
+    is passed by the ladder's full-length winner confirm (None = the
+    short ladder length).
 
     Library home: mr_mt3_tpu.infer.probe (shared with eval's
     quantize='auto'); re-exported here so tests/operators can
     monkeypatch the serving entry point."""
     from mr_mt3_tpu.infer.probe import quantize_probe as _probe
-    return _probe(handler)
+    if max_length is None:
+        return _probe(handler)
+    return _probe(handler, max_length=max_length)
 
 
 def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
@@ -113,12 +117,14 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
     2. prewarm: compile-and-run the serving decode program so the first
        request does not pay the 100-320 s program startup (PERF.md).
 
-    Probes run SHORT (infer/probe.PROBE_MAX_LENGTH) so losing ladder
-    tiers never pay a full-length program's startup; the winning tier's
-    full-length program is compiled here by the prewarm — and if that
-    full-length compile fails (a ceiling the short probe cannot see),
-    the failure demotes one tier and the ladder resumes, so the guard
-    stays total.
+    Ladder probes run SHORT (infer/probe.PROBE_MAX_LENGTH) so losing
+    tiers never pay a full-length program's startup; the ladder then
+    confirms the winning tier with one probe at the full serving length
+    (resolve_auto_quantize confirm_full), which also surfaces
+    full-length compile ceilings the short probe cannot see. The
+    prewarm's transcribe_many covers the remaining bucket-shaped
+    programs; if one of THOSE fails to compile, the failure demotes one
+    tier and the ladder resumes, so the guard stays total.
     """
     from mr_mt3_tpu.infer import probe as probe_mod
 
@@ -128,9 +134,12 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
               f'{nxt!r} for serving ({reason})', file=sys.stderr)
         info.setdefault('demotions', []).append(reason)
         handler.quantize = nxt
-        handler._decode_fn = None
-        handler._segmem_fn = None
-        handler._segmem_fn_local = None
+        handler._invalidate_compiled()
+        # the recorded probe counts belong to the tier we just left —
+        # /healthz must not present them as evidence for the new one
+        for k in ('probe_flips', 'probe_tokens', 'confirm_flips',
+                  'confirm_tokens'):
+            info.pop(k, None)
 
     info = {'quantize': handler.quantize, 'prewarmed': False}
     while True:
@@ -140,7 +149,7 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             demoted_before = len(info.get('demotions', []))
             probed = probe_mod.resolve_auto_quantize(
                 handler, verbose=False,
-                probe_fn=lambda h: quantize_probe(h))
+                probe_fn=lambda h, **kw: quantize_probe(h, **kw))
             info.setdefault('demotions', []).extend(
                 probed.pop('demotions', []))
             info.update(probed)
@@ -159,6 +168,7 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         from mr_mt3_tpu.infer.handler import _pow2_bucket, _round_up
         from mr_mt3_tpu.infer.probe import probe_audio
         t0 = time.monotonic()
+        prewarm_before = info.get('prewarm_seconds', 0.0)
         # warm through transcribe_many — the path EVERY request takes
         # (serve's MicroBatcher always calls it), so the compiled program
         # shapes match real traffic, including the sharded contiguous fn
@@ -188,17 +198,23 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             for k in counts:
                 handler.transcribe_many([audio] * k)
         except Exception as e:  # noqa: BLE001
-            # the short probe compiles only a small program, so a tier can
-            # probe clean yet fail to compile at the full serving length/
-            # bucket shapes (e.g. a VMEM ceiling on a different target) —
-            # treat that exactly like a probe failure: demote one tier and
-            # re-run the ladder from there. At 'none' there is no further
-            # fallback — surface the real error.
+            # the ladder's full-length confirm covers the probe-batch
+            # program, but the prewarm's coalesce buckets are distinct
+            # shapes that can still fail to compile (e.g. a VMEM ceiling
+            # at a bigger chain bucket) — treat that exactly like a
+            # probe failure: demote one tier and re-run the ladder from
+            # there. At 'none' there is no further fallback — surface
+            # the real error. prewarm_seconds accumulates across failed
+            # attempts so the startup accounting keeps the time burned
+            # compiling losing tiers.
+            info['prewarm_seconds'] = round(
+                prewarm_before + time.monotonic() - t0, 1)
             if handler.quantize == 'none':
                 raise
             demote_tier(f'prewarm failed at full length ({e!r})')
             continue
-        info['prewarm_seconds'] = round(time.monotonic() - t0, 1)
+        info['prewarm_seconds'] = round(
+            prewarm_before + time.monotonic() - t0, 1)
         info['prewarmed'] = True
         info['prewarm_buckets'] = counts
         break
@@ -321,6 +337,18 @@ def make_server(handler, port: int, info=None):
         # would be a memory/CPU DoS, so bound it to plausible audio rates
         if not 1000 <= sr <= 768000:
             raise ValueError(f'implausible sample rate: {sr}')
+        # the range bound alone still admits rates nearly coprime with
+        # 16000 (e.g. 767999): resample_poly's filter length is
+        # ~20*max(up, down) after the gcd reduction, so a tiny WAV
+        # claiming such a rate would cost a multi-million-tap design per
+        # request. Every real audio rate shares a large factor with
+        # 16000 (44.1k-family rates reduce to up/down <= 441*2^k), so
+        # cap the reduced ratio instead of enumerating rates.
+        from math import gcd
+        if max(sr, 16000) // gcd(int(sr), 16000) > 8000:
+            raise ValueError(
+                f'unsupported sample rate for resampling: {sr} '
+                '(use a standard audio rate, e.g. 44100/48000/16000)')
         if sr != 16000:
             samples = resample(samples, sr, 16000)
         return samples.astype(np.float32)

@@ -589,14 +589,16 @@ class TestAutoQuantize:
         from mr_mt3_tpu.infer.probe import quantize_probe
         handler = self._handler('fused')
         flips1, total1 = quantize_probe(handler)
-        cached = handler._probe_exact_tokens
-        assert cached is not None
+        cached = dict(handler._probe_exact_tokens)
+        assert len(cached) == 1
         # a second probe (as the ladder issues after a demotion) must
-        # reuse the same exact tokens object
+        # reuse the same exact tokens array, not rebuild the twin
         handler.quantize = 'fused_bf16'
-        handler._decode_fn = None
+        handler._invalidate_compiled()
         flips2, total2 = quantize_probe(handler)
-        assert handler._probe_exact_tokens is cached
+        assert len(handler._probe_exact_tokens) == 1
+        assert all(handler._probe_exact_tokens[k] is cached[k]
+                   for k in cached)
         assert total2 == total1
 
     def test_probe_length_clamps_and_overrides(self):
@@ -612,6 +614,83 @@ class TestAutoQuantize:
         handler2 = self._handler('fused')
         _, total2 = quantize_probe(handler2, max_length=4)
         assert total2 == 3 * (4 + 1)
+
+    def test_full_length_confirm_guards_winner(self, monkeypatch):
+        """A tier that probes clean SHORT but flips at the serving
+        length must still demote: quantized-KV error grows with cache
+        occupancy, so the short ladder probe alone is not the guard
+        (the winner gets one full-length confirm probe)."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        monkeypatch.setattr(probe_mod, 'PROBE_MAX_LENGTH', 4)
+        handler = self._handler('fused')  # max_length=12 > short 4
+        calls = []
+
+        def fake_probe(h, max_length=None):
+            calls.append((h.quantize, max_length))
+            if max_length is None:
+                return (0, 15)  # every tier is clean at the short length
+            # only bf16 survives the full length
+            return (0, 39) if h.quantize == 'fused_bf16' else (5, 39)
+        info = probe_mod.resolve_auto_quantize(
+            handler, verbose=False, probe_fn=fake_probe)
+        assert handler.quantize == 'fused_bf16'
+        assert calls == [('fused', None), ('fused', 12),
+                         ('fused_bf16', None), ('fused_bf16', 12)]
+        assert info['confirm_flips'] == 0
+        assert info['confirm_tokens'] == 39
+        assert any('full length' in d for d in info['demotions'])
+
+    def test_full_length_confirm_failure_demotes(self, monkeypatch):
+        """A full-length compile failure (a ceiling the short program
+        cannot see) demotes like a probe failure — on EVERY caller of
+        resolve_auto_quantize (eval's quantize='auto' included), not
+        just serve's prewarm."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        monkeypatch.setattr(probe_mod, 'PROBE_MAX_LENGTH', 4)
+        handler = self._handler('fused')
+
+        def fake_probe(h, max_length=None):
+            if max_length is not None and h.quantize == 'fused':
+                raise RuntimeError('VMEM exceeded at full length')
+            return (0, 15)
+        info = probe_mod.resolve_auto_quantize(
+            handler, verbose=False, probe_fn=fake_probe)
+        assert handler.quantize == 'fused_bf16'
+        assert 'VMEM exceeded' in info['probe_error']
+        assert any('confirm failed' in d for d in info['demotions'])
+
+    def test_full_length_confirm_real_probe(self, monkeypatch):
+        """The confirm really decodes at handler.max_length: probe
+        totals scale with the requested length, and the exact cache
+        keeps one entry per length (the ladder alternates short probes
+        and full confirms — a single-slot cache would thrash)."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        monkeypatch.setattr(probe_mod, 'PROBE_MAX_LENGTH', 4)
+        handler = self._handler('fused_bf16')
+        _, total_short = probe_mod.quantize_probe(handler)
+        assert total_short == 3 * (4 + 1)
+        _, total_full = probe_mod.quantize_probe(
+            handler, max_length=handler.max_length)
+        assert total_full == 3 * (12 + 1)
+        cache = dict(handler._probe_exact_tokens)
+        assert len(cache) == 2  # short + full, both retained
+        # re-probing at the short length reuses the cached exact tokens
+        probe_mod.quantize_probe(handler)
+        assert all(handler._probe_exact_tokens[k] is cache[k]
+                   for k in cache)
+
+    def test_confirm_skipped_when_serving_short(self, monkeypatch):
+        """max_length <= PROBE_MAX_LENGTH means the ladder probe already
+        ran at the serving length — no extra confirm decode."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')  # max_length=12 <= 256
+        calls = []
+        monkeypatch.setattr(
+            probe_mod, 'quantize_probe',
+            lambda h, max_length=None: calls.append(max_length) or (0, 10))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert calls == [None]
+        assert 'confirm_flips' not in info
 
     def test_decoder_prepend_demoted_without_probe(self):
         """v1 (decoder_prepend) has no quantized decode path; 'auto'

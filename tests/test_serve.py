@@ -135,6 +135,20 @@ class TestServer:
         assert status == 400
         assert b'sample rate' in body
 
+    def test_coprime_sample_rate_400(self, server):
+        """An in-range rate nearly coprime with 16000 (767999: gcd=1)
+        must also 400: resample_poly's filter length is ~20*max(up,
+        down) after gcd reduction, so a ~100-byte WAV claiming it would
+        cost a 15M-tap float64 filter design per request."""
+        import struct
+        payload = (b'RIFF' + struct.pack('<I', 36 + 4) + b'WAVEfmt '
+                   + struct.pack('<IHHIIHH', 16, 1, 1, 767999,
+                                 767999 * 2, 2, 16)
+                   + b'data' + struct.pack('<I', 4) + b'\x00' * 4)
+        status, body, _ = _post(server + '/transcribe', payload)
+        assert status == 400
+        assert b'sample rate' in body
+
     def test_malformed_flac_400(self, server):
         """Bytes with a fLaC magic but corrupt internals must come back as
         a clean 4xx, not a crashed worker (the native decoder rejects
@@ -305,6 +319,30 @@ class TestQuantizeGuard:
         assert info['quantize'] == 'fused_bf16'
         assert info['prewarmed'] is True
         assert any('prewarm failed' in d for d in info['demotions'])
+
+    def test_prewarm_demotion_drops_stale_probe_info(self, monkeypatch):
+        """When the prewarm demotes past the last probed tier (down to
+        'none', which is never probed), /healthz must not keep the
+        losing tier's clean probe counts — {quantize: 'none',
+        probe_flips: 0} would read as 'probed clean' for a path that
+        was never the probed one."""
+        handler = self._handler('fused_bf16')
+        monkeypatch.setattr(serve, 'quantize_probe', lambda h: (0, 100))
+
+        def flaky(self, audios):
+            if handler.quantize != 'none':
+                raise RuntimeError('VMEM exceeded at full length')
+            return real(self, audios)
+        real = InferenceHandler.transcribe_many
+        monkeypatch.setattr(InferenceHandler, 'transcribe_many', flaky)
+        info = serve.prepare_handler(handler)
+        assert handler.quantize == 'none'
+        assert info['quantize'] == 'none'
+        assert info['prewarmed'] is True
+        assert 'probe_flips' not in info
+        # the time burned compiling the losing tier stays in the
+        # startup accounting (t0 is not reset per attempt)
+        assert info['prewarm_seconds'] >= 0
 
     def test_prewarm_failure_at_exact_tier_raises(self, monkeypatch):
         """At 'none' there is no further fallback; the real error must
