@@ -12,9 +12,19 @@ worst case: the ladder walks every tier down to 'none'):
 
   probe ladder seconds + prewarm seconds = time-to-ready
 
+A third arm, `winner`, uses ZERO weights instead: every tier quantizes
+zeros exactly, so fused_int4 probes clean at the short length, passes
+the full-length confirm (quant + exact twin at max_length=1024 — the
+two full-size programs the old all-full-length ladder paid for the
+first tier anyway), and is kept. This times the OTHER boundary of the
+short-probe design: a checkpoint that wins its first tier, where the
+confirm means time-to-ready is ~the pre-short-probe cost rather than
+the 1.9x-faster walk.
+
 Run each arm in a FRESH process (program startup is per process):
   python benchmarks/dev_probe_startup.py short [fresh_cache]
   python benchmarks/dev_probe_startup.py full [fresh_cache]
+  python benchmarks/dev_probe_startup.py winner [fresh_cache]
 
 `fresh_cache` points the persistent XLA compilation cache at an empty
 temp dir — the first-launch scenario the prewarm design targets (the
@@ -33,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     arm = sys.argv[1] if len(sys.argv) > 1 else 'short'
-    assert arm in ('short', 'full')
+    assert arm in ('short', 'full', 'winner')
     fresh = len(sys.argv) > 2 and sys.argv[2] == 'fresh_cache'
 
     import tempfile
@@ -61,9 +71,16 @@ def main():
                            jnp.zeros((1, 256, cfg.mel_bins)),
                            decoder_input_ids=jnp.zeros((1, 4), jnp.int32)))
     rng = np.random.default_rng(0)
-    variables = jax.tree.map(
-        lambda s: jnp.asarray(
-            (rng.standard_normal(s.shape) * 0.05).astype(s.dtype)), shapes)
+    if arm == 'winner':
+        # zero weights quantize exactly at every tier -> int4 wins and
+        # the full-length confirm fires (see module docstring)
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    else:
+        variables = jax.tree.map(
+            lambda s: jnp.asarray(
+                (rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
+            shapes)
     handler = InferenceHandler(model=model, variables=variables,
                                batch_size=8, quantize='fused_int4')
     t0 = time.monotonic()
@@ -71,6 +88,7 @@ def main():
     ready = time.monotonic() - t0
     print(f'arm={arm} quantize={info["quantize"]} '
           f'probe={info.get("probe_seconds")}s '
+          f'confirm_flips={info.get("confirm_flips")} '
           f'prewarm={info.get("prewarm_seconds")}s '
           f'time_to_ready={ready:.1f}s '
           f'demotions={len(info.get("demotions", []))}')
