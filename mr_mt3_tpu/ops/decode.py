@@ -28,6 +28,7 @@ from mr_mt3_tpu.models.config import MT3Config
 from mr_mt3_tpu.models.mt3 import MT3
 from mr_mt3_tpu.ops.fast_decode import (
     greedy_loop_fast,
+    run_phased_decode,
     stack_decode_params,
 )
 
@@ -78,25 +79,11 @@ def _greedy_loop(model: MT3, variables, encoder_out: jnp.ndarray,
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         return i + 1, tokens, cache, finished
 
-    state = (jnp.int32(0), tokens, cache, finished)
-    cache_len = phases[0] + prefix_len
-    for bound in phases:
-        target_len = bound + prefix_len
-        if target_len > cache_len:
-            delta = target_len - cache_len
-            i, tokens, cache, finished = state
-            cache = jax.tree.map(
-                lambda a: jnp.pad(a, ((0, 0), (0, delta), (0, 0), (0, 0))),
-                cache)
-            state = (i, tokens, cache, finished)
-            cache_len = target_len
-
-        def cond(state, bound=bound):
-            i, _, _, finished = state
-            return (i < bound) & jnp.logical_not(jnp.all(finished))
-
-        state = jax.lax.while_loop(cond, body, state)
-    return state[1]
+    return run_phased_decode(
+        (jnp.int32(0), tokens, cache, finished), phases, body,
+        pad_cache=lambda c, d: jax.tree.map(
+            lambda a: jnp.pad(a, ((0, 0), (0, d), (0, 0), (0, 0))), c),
+        cache_len=lambda b: b + prefix_len)
 
 
 def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
@@ -136,6 +123,10 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
     if quantize not in ('none', 'int8', 'int8_kv', 'fused',
                         'fused_bf16', 'fused_int4'):
         raise ValueError(f'unknown quantize mode: {quantize!r}')
+    if not use_fast and quantize != 'none':
+        # argument check BEFORE the encoder pass — in an eager call the
+        # encoder is the most expensive op in this function
+        raise ValueError('quantize is only supported with use_fast=True')
     encoder_out = model.apply(variables, mel, method=MT3.encode_audio)
     if use_fast:
         dp = stack_decode_params(
@@ -144,8 +135,6 @@ def greedy_decode(model: MT3, variables, mel: jnp.ndarray,
                 'int8', 'fused', 'fused_bf16', 'fused_int4') else 'none')
         return greedy_loop_fast(model.cfg, dp, encoder_out, max_length,
                                 quantize=quantize, valid_mask=valid_mask)
-    if quantize != 'none':
-        raise ValueError('quantize is only supported with use_fast=True')
     return _greedy_loop(model, variables, encoder_out, max_length,
                         valid_mask=valid_mask)
 

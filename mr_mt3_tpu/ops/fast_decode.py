@@ -51,9 +51,6 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
         dtype = cfg.activation_dtype
     blocks = [params['decoder'][f'block_{i}']
               for i in range(cfg.num_decoder_layers)]
-    layers = jax.tree.map(
-        lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *blocks)
-    lm_head = jnp.asarray(params['lm_head']['kernel'], dtype)
     lm_head_q = lm_head_scale = None
     fused = None
     if quantize in ('fused', 'fused_bf16', 'fused_int4'):
@@ -66,12 +63,21 @@ def stack_decode_params(params: Dict[str, Any], cfg: MT3Config,
         # bf16 with 'fused_bf16');
         # the fused driver reads only the cross-attn K/V kernels from the
         # stacked tree (precompute_cross_kv_stacked) plus token_embed /
-        # pos_table — drop the duplicated bf16 stacks and lm_head so they
-        # are not resident in HBM alongside the int8 copies
+        # pos_table — stack just those two leaves so the full bf16
+        # layer stacks and lm_head are never even allocated in HBM
+        # alongside the quantized copies (stack-then-discard would pay
+        # the transfer at every handler startup)
         layers = {'cross_attn': {
-            'k': {'kernel': layers['cross_attn']['k']['kernel']},
-            'v': {'kernel': layers['cross_attn']['v']['kernel']}}}
+            name: {'kernel': jnp.stack(
+                [jnp.asarray(b['cross_attn'][name]['kernel'], dtype)
+                 for b in blocks])}
+            for name in ('k', 'v')}}
         lm_head = jnp.zeros((0,), dtype)
+    else:
+        layers = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]),
+            *blocks)
+        lm_head = jnp.asarray(params['lm_head']['kernel'], dtype)
     if quantize == 'int8':
         from mr_mt3_tpu.ops.int8_matmul import quantize_columns
         layers.pop('ff')
@@ -344,6 +350,43 @@ def _decode_step_int8_kv(cfg: MT3Config, dp: DecodeParams,
     return logits, cache
 
 
+def run_phased_decode(state, bounds, body, pad_cache, cache_len=None):
+    """Run a greedy-decode `body` under while_loops split at `bounds`,
+    growing the KV cache between phases.
+
+    The decode loops keep the cache length a trace-time constant inside
+    each while_loop (XLA needs static shapes) and grow it in chunked
+    phases: decode to bound b with a cache sized cache_len(b), then pad
+    and continue (PERF.md: phase chunking is what makes short decodes
+    cheap without recompiling per length). All three loop families —
+    model-apply (ops/decode.py), stacked-fast, and the fused megakernel
+    — share this skeleton; only the cache pytree layout (pad_cache) and
+    the phase-to-cache-length map (cache_len) differ.
+
+    state: (i, tokens, cache, finished); body: state -> state advancing
+    i; pad_cache(cache, delta): pad the cache's position axis by delta;
+    cache_len(bound): the cache length the phase decoding up to `bound`
+    needs (default: the bound itself). The initial cache must already
+    be sized cache_len(bounds[0]). Each phase's while_loop early-exits
+    once every row is finished. Returns the final state's tokens."""
+    if cache_len is None:
+        cache_len = lambda b: b  # noqa: E731
+    cur = cache_len(bounds[0])
+    for bound in bounds:
+        target = cache_len(bound)
+        if target > cur:
+            i, tokens, cache, finished = state
+            state = (i, tokens, pad_cache(cache, target - cur), finished)
+            cur = target
+
+        def cond(st, bound=bound):
+            i, _, _, finished = st
+            return (i < bound) & jnp.logical_not(jnp.all(finished))
+
+        state = jax.lax.while_loop(cond, body, state)
+    return state[1]
+
+
 def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                      encoder_out: jnp.ndarray, max_length: int,
                      phases=DEFAULT_PHASES,
@@ -402,24 +445,13 @@ def greedy_loop_fast(cfg: MT3Config, dp: DecodeParams,
                                               (0, i + 1))
         return i + 1, tokens, cache, finished
 
-    state = (jnp.int32(0), tokens, cache, finished)
-    cache_len = bounds[0]
-    for bound in bounds:
-        if bound > cache_len:
-            delta = bound - cache_len
-            i, tokens, cache, finished = state
-            pad = [(0, 0)] * 5
-            pad[seq_axis] = (0, delta)
-            cache = jax.tree.map(lambda a: jnp.pad(a, pad), cache)
-            state = (i, tokens, cache, finished)
-            cache_len = bound
+    def pad_cache(cache, delta):
+        pad = [(0, 0)] * 5
+        pad[seq_axis] = (0, delta)
+        return jax.tree.map(lambda a: jnp.pad(a, pad), cache)
 
-        def cond(state, bound=bound):
-            i, _, _, finished = state
-            return (i < bound) & jnp.logical_not(jnp.all(finished))
-
-        state = jax.lax.while_loop(cond, body, state)
-    return state[1]
+    return run_phased_decode((jnp.int32(0), tokens, cache, finished),
+                             bounds, body, pad_cache)
 
 
 def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
@@ -445,6 +477,12 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         precompute_cross_kv_fused,
     )
     batch = encoder_out.shape[0]
+    # normalize n_valid into valid_mask up front so the pad/group
+    # recursions below (which forward only valid_mask) cannot drop it
+    if n_valid is not None:
+        nv = jnp.arange(batch) < n_valid
+        valid_mask = nv if valid_mask is None else (valid_mask & nv)
+        n_valid = None
     if batch > 8 * FUSED_MAX_BATCH:
         # 16-group programs fail remote compile on v5e (PERF.md); callers
         # split into <=64-row device calls (the handler does this).
@@ -526,10 +564,8 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     # alignment-padding rows (zero encoder) may never emit EOS; marking
     # them finished from the start keeps the all-finished early exit live
-    finished = (jnp.zeros((batch,), bool) if n_valid is None
-                else jnp.arange(batch) >= n_valid)
-    if valid_mask is not None:
-        finished = finished | jnp.logical_not(valid_mask)
+    finished = (jnp.zeros((batch,), bool) if valid_mask is None
+                else jnp.logical_not(valid_mask))
 
     def body(state):
         i, tokens, cache, finished = state
@@ -540,22 +576,9 @@ def greedy_loop_fused(cfg: MT3Config, dp: DecodeParams,
         tokens = jax.lax.dynamic_update_slice(tokens, toks_w, (0, i + 1))
         return i + t_win, tokens, cache, finished
 
-    state = (jnp.int32(0), tokens, cache, finished)
-    cache_len = cache_len_for(bounds[0])
-    for bound in bounds:
-        target = cache_len_for(bound)
-        if target > cache_len:
-            delta = target - cache_len
-            i, tokens, cache, finished = state
-            cache = jax.tree.map(
-                lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]),
-                cache)
-            state = (i, tokens, cache, finished)
-            cache_len = target
-
-        def cond(state, bound=bound):
-            i, _, _, finished = state
-            return (i < bound) & jnp.logical_not(jnp.all(finished))
-
-        state = jax.lax.while_loop(cond, body, state)
-    return state[1][:, :max_length + 1]
+    toks = run_phased_decode(
+        (jnp.int32(0), tokens, cache, finished), bounds, body,
+        pad_cache=lambda c, d: jax.tree.map(
+            lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, d)]), c),
+        cache_len=cache_len_for)
+    return toks[:, :max_length + 1]

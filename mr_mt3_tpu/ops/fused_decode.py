@@ -76,6 +76,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mr_mt3_tpu.models.config import MT3Config
 from mr_mt3_tpu.models.mt3 import gelu_new
+from mr_mt3_tpu.ops._backend import on_tpu as _on_tpu
 from mr_mt3_tpu.ops.int8_matmul import quantize_columns
 
 # self-KV cache chunk streamed per grid step; 256 keeps a double-buffered
@@ -109,13 +110,6 @@ FUSED_MAX_BATCH = 8
 ATTN_IMPL = 'mxu'
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == 'tpu'
-    except Exception:  # pragma: no cover
-        return False
-
-
 class FusedParams(NamedTuple):
     """Decoder weights quantized per output column for the megakernel.
 
@@ -142,13 +136,10 @@ class FusedParams(NamedTuple):
 def quantize_columns_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-column int4 quantization (codes in [-7, 7]).
 
-    Same formula as ops/int8_matmul.quantize_columns with qmax 7; HALVES
-    the weight bytes the HBM-bandwidth-saturated megakernel streams
-    (PERF.md decode roofline) at ~18x the int8 rounding error."""
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
-                        1e-12) / 7.0
-    codes = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int4)
-    return codes, scale.astype(jnp.float32)
+    ops/int8_matmul.quantize_columns at qmax 7; HALVES the weight bytes
+    the HBM-bandwidth-saturated megakernel streams (PERF.md decode
+    roofline) at ~18x the int8 rounding error."""
+    return quantize_columns(w, qmax=7, dtype=jnp.int4)
 
 
 def pack_fused_params(params: Dict[str, Any], cfg: MT3Config,
@@ -501,7 +492,7 @@ def _layer_ops(cfg: MT3Config, batch: int, exact: bool = False,
 
 
 def _make_kernel(cfg: MT3Config, batch: int, chunk: int, n_chunks: int,
-                 lenc: int, exact: bool = False, qmax: int = 127):
+                 exact: bool = False, qmax: int = 127):
     eps = cfg.layer_norm_epsilon
     n_layers = cfg.num_decoder_layers
     (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(
@@ -679,7 +670,7 @@ def fused_decode_step(cfg: MT3Config, fp: FusedParams, dp,
     qmax = 7 if fp.wqkv.dtype == jnp.int4 else 127
     kv_dtype = jnp.bfloat16 if exact else (
         jnp.int4 if qmax == 7 else jnp.int8)
-    kernel = _make_kernel(cfg, batch, chunk, n_chunks, lenc, exact=exact,
+    kernel = _make_kernel(cfg, batch, chunk, n_chunks, exact=exact,
                           qmax=qmax)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
     logits, kq_row, ks_row, vq_row, vs_row = pl.pallas_call(
@@ -733,7 +724,7 @@ FUSED_WINDOW = 32
 
 
 def _make_window_kernel(cfg: MT3Config, batch: int, chunk: int,
-                        n_chunks: int, lenc: int, t_window: int,
+                        n_chunks: int, t_window: int,
                         exact: bool = False, qmax: int = 127):
     vocab = cfg.vocab_size
     eps = cfg.layer_norm_epsilon
@@ -973,7 +964,7 @@ def fused_decode_window(cfg: MT3Config, fp: FusedParams, dp,
     qmax = 7 if fp.wqkv.dtype == jnp.int4 else 127
     kv_dtype = jnp.bfloat16 if exact else (
         jnp.int4 if qmax == 7 else jnp.int8)
-    kernel = _make_window_kernel(cfg, batch, chunk, n_chunks, lenc,
+    kernel = _make_window_kernel(cfg, batch, chunk, n_chunks,
                                  t_window, exact=exact, qmax=qmax)
     toks_w, fin_out, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,
@@ -1063,7 +1054,7 @@ def init_fused_cache_grouped(cfg: MT3Config, n_groups: int,
 
 
 def _make_grouped_kernel(cfg: MT3Config, n_groups: int, chunk: int,
-                         n_chunks: int, lenc: int, t_window: int):
+                         n_chunks: int, t_window: int):
     batch = 8  # rows per group; the kernel's attention math is 8-row
     vocab = cfg.vocab_size
     eps = cfg.layer_norm_epsilon
@@ -1071,9 +1062,7 @@ def _make_grouped_kernel(cfg: MT3Config, n_groups: int, chunk: int,
     pad_id, eos_id = cfg.pad_token_id, cfg.eos_token_id
     (_, _, int8_proj, _, gather_heads, _, _) = _math_helpers(cfg, batch)
     qkv_block, flash_chunk, o_cross_ff = _layer_ops(cfg, batch)
-
     inner, d_ff = cfg.inner_dim, cfg.d_ff
-    wide = max(3 * inner, 2 * d_ff)
 
     def kernel(pos_ref, packed_in, embed, pos_rows,
                wqkv, wo, wqc, woc, wff_in, wff_out,
@@ -1360,7 +1349,7 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
             pltpu.VMEM((n_groups * batch, 1), jnp.int32),     # tok_scr
         ],
     )
-    kernel = _make_grouped_kernel(cfg, n_groups, chunk, n_chunks, lenc,
+    kernel = _make_grouped_kernel(cfg, n_groups, chunk, n_chunks,
                                   t_window)
     toks_w, kq_w, ks_w, vq_w, vs_w = pl.pallas_call(
         kernel,

@@ -40,12 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == 'tpu'
-    except Exception:  # pragma: no cover
-        return False
+from mr_mt3_tpu.ops._backend import on_tpu as _on_tpu
 
 
 def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

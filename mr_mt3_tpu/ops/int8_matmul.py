@@ -34,21 +34,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mr_mt3_tpu.models.mt3 import gelu_new
+from mr_mt3_tpu.ops._backend import on_tpu as _on_tpu
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == 'tpu'
-    except Exception:  # pragma: no cover
-        return False
-
-
-def quantize_columns(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(K, N) float -> ((K, N) int8, (1, N) f32 per-column scales)."""
+def quantize_columns(w: jnp.ndarray, qmax: int = 127,
+                     dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, N) float -> ((K, N) int codes in [-qmax, qmax], (1, N) f32
+    per-column scales). One symmetric per-column quantizer for every
+    integer tier: 127/int8 (default) and 7/int4
+    (fused_decode.quantize_columns_int4)."""
     w = jnp.asarray(w, jnp.float32)
-    scale = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                        1e-12) / qmax
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(dtype)
     return q, scale
 
 

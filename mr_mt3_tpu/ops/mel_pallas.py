@@ -27,6 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mr_mt3_tpu.ops._backend import on_tpu as _on_tpu
 from mr_mt3_tpu.audio.frontend import (
     SpectrogramConfig,
     _hann_periodic,
@@ -157,5 +158,5 @@ def logmel_pallas(samples: jnp.ndarray,
             flops=flops_per_step * b * num_k,
             bytes_accessed=(blocks.size + 2 * cos_m.size + fbank.size) * 4,
             transcendentals=b * num_frames * config.num_mel_bins),
-        interpret=interpret,
+        interpret=interpret or not _on_tpu(),
     )(blocks, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(fbank))
