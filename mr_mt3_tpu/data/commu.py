@@ -28,6 +28,15 @@ class ComMUDataset(SlakhDataset):
                  inst_filename: str = 'inst_names.json', shuffle: bool = True,
                  num_rows_per_batch: int = 8, seed: int = 0,
                  cache_songs: bool = True, **kwargs):
+        # forward **kwargs so base-class options (is_deterministic,
+        # use_tf_spectral_ops, ...) are honored instead of silently
+        # dropped; the two ComMU-pinned values below are not overridable
+        # (reference: dataset_commu.py:353-356, 378-382 — ComMU always
+        # splits into contiguous mel_length windows and always
+        # randomizes token order)
+        for pinned in ('split_frame_length', 'is_randomize_tokens'):
+            if pinned in kwargs:
+                raise TypeError(f'{pinned} is fixed for ComMUDataset')
         super().__init__(
             root_dir=root_dir, mel_length=mel_length,
             event_length=event_length, is_train=is_train,
@@ -35,12 +44,9 @@ class ComMUDataset(SlakhDataset):
             onsets_only=onsets_only, midi_folder=midi_folder,
             inst_filename=inst_filename, shuffle=shuffle,
             num_rows_per_batch=num_rows_per_batch,
-            # ComMU always splits into contiguous mel_length windows and
-            # always randomizes token order (reference: dataset_commu.py:
-            # 353-356, 378-382)
             split_frame_length=mel_length,
             is_randomize_tokens=True,
-            seed=seed, cache_songs=cache_songs)
+            seed=seed, cache_songs=cache_songs, **kwargs)
 
     def _build_dataset(self, root_dir: str, shuffle: bool) -> List[dict]:
         df = []

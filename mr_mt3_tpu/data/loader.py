@@ -55,17 +55,15 @@ class DataLoader:
 
     def _num_global_batches(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.shard_count > 1:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __len__(self) -> int:
         n = self._num_global_batches()
         if self.shard_count > 1:
-            # batches are strided across shards; ranks below the remainder
-            # get one extra
-            return n // self.shard_count + \
-                (1 if self.shard_rank < n % self.shard_count else 0)
+            # every rank gets exactly the same batch count (see _batches)
+            return n // self.shard_count
         return n
 
     def _batches(self) -> List[List[int]]:
@@ -74,10 +72,20 @@ class DataLoader:
             self._rng.shuffle(order)
         batches = [order[i:i + self.batch_size].tolist()
                    for i in range(0, len(order), self.batch_size)]
-        if self.drop_last and batches and \
-                len(batches[-1]) < self.batch_size:
+        drop_last = self.drop_last or self.shard_count > 1
+        if drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
         if self.shard_count > 1:
+            # SPMD invariant: every process must execute the same number
+            # of identically-shaped train steps, or the gradient
+            # all-reduce deadlocks (a rank with an extra batch blocks in
+            # a collective the others never enter). So under sharding the
+            # global partial batch is always dropped (regardless of
+            # drop_last) and the batch list is truncated to a multiple of
+            # shard_count before striding — each rank sees exactly
+            # len(batches) // shard_count batches, all full-size.
+            batches = batches[:len(batches)
+                              - len(batches) % self.shard_count]
             batches = batches[self.shard_rank::self.shard_count]
         return batches
 

@@ -216,4 +216,12 @@ def augment_token_order(tokens: np.ndarray, codec: Codec,
     return rle.remove_redundant_state_changes(t, codec)
 
 
-EMPTY_PREV_TOKENS = np.array([1131, 1])  # tie, EOS (decoded space)
+# The no-previous-segment memory seed, in DECODED space (reference:
+# dataset_2_random_segmem_prev.py:94). Deliberately bug-compatible: the
+# reference's `1` here is (presumably) meant as EOS, but it passes
+# through the same +3 special-token offset as real tokens
+# (dataset_2_random_segmem_prev.py:106-107) and becomes model-space 4 —
+# a one-step shift event — before _pad_length appends the actual EOS.
+# Trained segmem models therefore expect [tie, shift-1, EOS] as the
+# empty memory; "fixing" it would change the training distribution.
+EMPTY_PREV_TOKENS = np.array([1131, 1])

@@ -56,6 +56,10 @@ def weighted_instrument_loss(
     sum_inst = jnp.sum(ce * inst_mask)
     loss = (sum_other + 2.0 * sum_inst) / jnp.maximum(n_inst + n_other, 1)
     logs = {
+        # despite the name, 'loss_other' averages over ALL non-pad tokens
+        # (instrument positions included) — bug-compatible with the
+        # reference's train_loss_other, which divides loss_masked (the
+        # full pad-masked CE) by its own count (tasks/mt3_net.py:109)
         'loss_other': sum_other / jnp.maximum(n_other, 1),
         'loss_inst': sum_inst / jnp.maximum(n_inst, 1),
     }

@@ -39,12 +39,15 @@ def cosine_schedule_with_warmup(
     return schedule
 
 
-def noam_schedule(base_factor: float, warmup_steps: int, model_dim: int):
+def noam_schedule(base_factor: float = 0.002, warmup_steps: int = 1000,
+                  model_dim: int = 512):
     """Noam LR (reference: utils.py:7-19; unused by the tasks but part of
-    the utils surface)."""
+    the utils surface). The reference hardcodes factor 0.002 — that is
+    the default here, but base_factor is honored rather than silently
+    ignored."""
     def schedule(step):
         cur = jnp.asarray(step, jnp.float32) + 2.0
-        return (0.002 * model_dim ** 0.5 *
+        return (base_factor * model_dim ** 0.5 *
                 jnp.minimum(cur ** -0.5, cur * warmup_steps ** -1.5))
     return schedule
 

@@ -243,6 +243,7 @@ class Trainer:
         mel_norm: bool = True,
         bucket_targets: bool = True,
         fast_rng: bool = True,
+        spectrogram_config: Optional[SpectrogramConfig] = None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -273,20 +274,32 @@ class Trainer:
             self.rng = jax.random.PRNGKey(seed)
         self.mel_norm = mel_norm
         self.bucket_targets = bucket_targets
+        # the dataset's filterbank choice (use_tf_spectral_ops) must reach
+        # the in-jit mel here, or the trained features silently disagree
+        # with the dataset's configuration
+        sc = spectrogram_config or SpectrogramConfig()
 
         self.train_step = make_train_step(model, optimizer,
                                           loss_type=loss_type,
+                                          spectrogram_config=sc,
                                           mel_norm=mel_norm)
         self.eval_step = make_eval_step(model, loss_type=loss_type,
+                                        spectrogram_config=sc,
                                         mel_norm=mel_norm)
         os.makedirs(out_dir, exist_ok=True)
         self.writer = MetricsWriter(os.path.join(out_dir, 'logs'))
         self._ckpt_dir = os.path.join(os.path.abspath(out_dir), 'checkpoints')
         self._ckpt_scores = []  # (score, epoch)
+        self._topk_created: set = set()  # top-k dirs THIS run wrote
 
     def _can_bucket(self, batch) -> bool:
         """Trimming is loss-identical only when the memory ids do not
-        derive from the trimmed targets (see bucket_targets docstring)."""
+        derive from the trimmed targets (see bucket_targets docstring).
+        Multihost never buckets: each process would trim its local batch
+        to a different length, and per-process global shapes must agree
+        at make_array_from_process_local_data or the SPMD step diverges."""
+        if jax.process_count() > 1:
+            return False
         return self.bucket_targets and (
             not self.model.cfg.has_segmem or 'targets_prev' in batch)
 
@@ -354,20 +367,29 @@ class Trainer:
                 else self._ckpt_scores[:self.policy.save_top_k])
         if (val_loss, name) in keep:
             self.save_checkpoint(state, name)
-        # prune dropped checkpoints
+            self._topk_created.add(name)
+        # prune dropped checkpoints — but ONLY ones this run created as
+        # top-k entries: a resumed run starts with empty _ckpt_scores,
+        # and deleting every unknown directory would destroy the previous
+        # run's best checkpoints (and any manually saved name like
+        # 'final') on the first post-resume validation
         import shutil
         keep_names = {n for _, n in keep} | {'last'}
-        if os.path.isdir(self._ckpt_dir):
-            for entry in os.listdir(self._ckpt_dir):
-                if entry not in keep_names:
-                    shutil.rmtree(os.path.join(self._ckpt_dir, entry),
-                                  ignore_errors=True)
+        for entry in self._topk_created - keep_names:
+            shutil.rmtree(os.path.join(self._ckpt_dir, entry),
+                          ignore_errors=True)
+        self._topk_created &= keep_names
         self._ckpt_scores = keep
 
     # ---- loop ----
 
     def fit(self, state: TrainState, train_loader, val_loader=None,
             num_epochs: int = 1, start_epoch: int = 0) -> TrainState:
+        # host-side step counter: int(state.step) would block on the
+        # in-flight device step every iteration, serializing the host's
+        # bucket/shard work with device compute (train_step advances the
+        # counter by exactly 1, so the local count stays exact)
+        step = int(state.step)
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             for batch in train_loader:
@@ -375,12 +397,16 @@ class Trainer:
                     batch = bucket_targets(batch)
                 sharded = mesh_lib.shard_batch(batch, self.mesh)
                 state, metrics = self.train_step(state, sharded, self.rng)
-                step = int(state.step)
+                step += 1
                 if step % self.log_every_n_steps == 0:
                     scalars = {f'train_{k}': float(v)
                                for k, v in metrics.items()}
                     if self.lr_schedule is not None:
-                        scalars['lr'] = float(self.lr_schedule(step))
+                        # the update that produced `step` consumed the
+                        # schedule at count step-1 (optax increments the
+                        # count after scaling) — log the LR actually
+                        # applied, not the next step's
+                        scalars['lr'] = float(self.lr_schedule(step - 1))
                     self.writer.log(step, scalars)
             epoch_time = time.time() - t0
 

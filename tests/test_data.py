@@ -200,6 +200,39 @@ class TestLoader:
         assert len(DataLoader(ds, batch_size=2)) == 1
         assert len(DataLoader(ds, batch_size=1)) == 2
 
+    def test_sharded_ranks_get_equal_batch_counts(self):
+        """SPMD invariant: with shard_count ranks, every rank must run
+        the same number of identically-shaped steps — a rank with an
+        extra or smaller batch deadlocks the gradient all-reduce. 5
+        global batches over 2 ranks -> 2 each (remainder dropped), and
+        the global partial batch is dropped even with drop_last=False."""
+
+        class Counting:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {'x': np.full((1, 2), i, np.int64)}
+
+        # 11 items, batch 2 -> 5 full global batches + 1 partial
+        per_rank = []
+        seen = []
+        for rank in (0, 1):
+            loader = DataLoader(Counting(11), batch_size=2, shuffle=False,
+                                num_workers=1, shard_rank=rank,
+                                shard_count=2)
+            batches = list(loader)
+            assert len(loader) == len(batches)
+            per_rank.append(len(batches))
+            for b in batches:
+                assert b['x'].shape == (2, 2)  # all full-size
+                seen.extend(b['x'][:, 0].tolist())
+        assert per_rank == [2, 2]
+        assert len(seen) == len(set(seen))  # disjoint coverage
+
     def test_abandoned_iterator_stops_producer(self):
         """Breaking out of iteration mid-epoch must not leave the producer
         thread blocked forever on a full prefetch queue."""
@@ -261,3 +294,17 @@ class TestComMUDataset:
         mel_length), unlike Slakh's 2000-frame windows."""
         ds = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=8)
         assert ds.split_frame_length == ds.mel_length
+
+    def test_base_class_kwargs_forwarded(self, commu_root):
+        """Options like is_deterministic must reach the base class, not
+        vanish into **kwargs — a 'deterministic' pipeline silently
+        sampling random windows would be a debugging trap."""
+        ds = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=2,
+                          is_deterministic=True)
+        assert ds.is_deterministic
+        a = ds[0]['targets']
+        b = ds[0]['targets']
+        np.testing.assert_array_equal(a, b)
+        # the ComMU-pinned values stay pinned
+        with pytest.raises(TypeError):
+            ComMUDataset(commu_root, is_randomize_tokens=False)

@@ -21,7 +21,11 @@ from mr_mt3_tpu.train import (
     make_train_step,
     weighted_instrument_loss,
 )
-from mr_mt3_tpu.train.trainer import create_train_state, make_eval_step
+from mr_mt3_tpu.train.trainer import (
+    CheckpointPolicy,
+    create_train_state,
+    make_eval_step,
+)
 
 TINY = MT3Config(vocab_size=1536, d_model=32, d_kv=8, d_ff=48, num_heads=4,
                  num_encoder_layers=1, num_decoder_layers=1, mel_bins=512,
@@ -104,6 +108,15 @@ class TestScheduleParity:
                 oracle, rel=1e-3, abs=1e-9), step
             opt.step()
             sched.step()
+
+    def test_noam_honors_base_factor(self):
+        """The reference hardcodes 0.002 (utils.py:17) — that is the
+        default, but an explicit base_factor must scale the schedule
+        rather than be silently ignored."""
+        from mr_mt3_tpu.train.optim import noam_schedule
+        ref = noam_schedule()
+        doubled = noam_schedule(base_factor=0.004)
+        assert float(doubled(10)) == pytest.approx(2 * float(ref(10)))
 
 
 class TestTrainStep:
@@ -218,6 +231,48 @@ class TestTrainerLoop:
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(params)[0]),
             np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+class TestCheckpointPruneSafety:
+    def test_prune_spares_foreign_checkpoints(self, tmp_path):
+        """A resumed run starts with empty top-k state; pruning must only
+        remove top-k dirs THIS run created — not the previous run's best
+        checkpoints or manually saved names like 'final'."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1),
+                          checkpoint_policy=CheckpointPolicy(save_top_k=1))
+        # a previous run's artifacts
+        for foreign in ('epoch=9-val_loss=0.1000', 'final'):
+            os.makedirs(os.path.join(trainer._ckpt_dir, foreign))
+        # two validations: the worse new checkpoint is pruned, foreign
+        # dirs survive
+        trainer._maybe_save_topk(state, epoch=0, val_loss=0.5)
+        trainer._maybe_save_topk(state, epoch=1, val_loss=0.4)
+        ckpts = set(os.listdir(trainer._ckpt_dir))
+        assert 'epoch=9-val_loss=0.1000' in ckpts
+        assert 'final' in ckpts
+        assert 'epoch=1-val_loss=0.4000' in ckpts
+        assert 'epoch=0-val_loss=0.5000' not in ckpts  # own worse ckpt
+
+
+class TestMultihostGates:
+    def test_bucketing_disabled_multihost(self, monkeypatch, tmp_path):
+        """Per-process target trimming picks different lengths on each
+        host -> divergent global shapes; multihost must not bucket."""
+        model = MT3(TINY)
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'mh'),
+                          mesh=make_mesh(data=1, model=1))
+        batch = {'targets': np.full((2, 8), -100, np.int64)}
+        assert trainer._can_bucket(batch)
+        monkeypatch.setattr(jax, 'process_count', lambda: 2)
+        assert not trainer._can_bucket(batch)
 
 
 class TestFastRng:

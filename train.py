@@ -131,7 +131,11 @@ def main(argv=None):
         seed=seed,
         bucket_targets=bool(cfg.trainer.get('bucket_targets', True)),
         # hardware-RNG dropout masks: 1.36x train throughput (PERF.md)
-        fast_rng=bool(cfg.trainer.get('fast_rng', True)))
+        fast_rng=bool(cfg.trainer.get('fast_rng', True)),
+        # the in-jit mel must use the dataset's filterbank choice
+        # (use_tf_spectral_ops), or training silently runs on different
+        # features than the dataset was configured for
+        spectrogram_config=getattr(train_ds, 'spectrogram_config', None))
 
     params = builders.init_params(model, seed)
     start_epoch = 0
