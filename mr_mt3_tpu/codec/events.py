@@ -137,6 +137,11 @@ def token_name(token_idx: int) -> str:
     if 1260 <= t <= 1387:
         return f'drum_{t - 1260}'
     if 0 <= t < 1000:
+        # deliberately < 1000, not <= : shift ids actually span 0-1000
+        # inclusive (steps_per_second * max_shift_seconds = 1000), but
+        # the reference's table has the same off-by-one
+        # (run_length_encoding.py:73 `token_idx < 1000`), so shift_1000
+        # reports as invalid_1000 there too — kept bug-compatible
         return f'shift_{t}'
     return f'invalid_{t}'
 

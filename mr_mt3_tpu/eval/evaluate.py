@@ -69,25 +69,43 @@ def compute_transcription_metrics(ref_mid, est_mid) -> Dict[str, float]:
     }
 
 
-def program_aware_note_scores(ref_path, est_path,
-                              granularity_type: str) -> Dict[str, object]:
-    """One song's scores at one granularity (reference: evaluate.py:56-237)."""
+def _parse_pair(ref_path, est_path):
+    """Parse one song's (ref, est) MIDI pair once for all granularities."""
     ref_mid = read_midi(ref_path)
     est_mid = read_midi(est_path)
-    ref_ns = midi_to_note_sequence(ref_mid)
-    est_ns = midi_to_note_sequence(est_mid)
+    return (ref_mid, est_mid,
+            midi_to_note_sequence(ref_mid), midi_to_note_sequence(est_mid))
 
-    res: Dict[str, object] = {}
 
-    # instrument-agnostic onset scores: all notes, MIDI-number "pitches"
+def _agnostic_onset_scores(ref_ns, est_ns) -> Dict[str, float]:
+    """Instrument-agnostic onset P/R/F1: all notes, MIDI-number
+    "pitches" — identical across granularities."""
     est_intervals, est_pitches, _ = sequence_to_valued_intervals(est_ns)
     ref_intervals, ref_pitches, _ = sequence_to_valued_intervals(ref_ns)
     precision, recall, f1, _ = precision_recall_f1_overlap(
         ref_intervals, ref_pitches, est_intervals, est_pitches,
         offset_ratio=None)
-    res['Onset precision'] = precision
-    res['Onset recall'] = recall
-    res['Onset F1'] = f1
+    return {'Onset precision': precision, 'Onset recall': recall,
+            'Onset F1': f1}
+
+
+def program_aware_note_scores(ref_path, est_path,
+                              granularity_type: str,
+                              _parsed=None,
+                              _agnostic=None) -> Dict[str, object]:
+    """One song's scores at one granularity (reference: evaluate.py:56-237).
+
+    _parsed/_agnostic: caches from evaluate_main's per-song loop, which
+    calls this once per granularity — the MIDI parse and the
+    granularity-independent onset matching (the expensive bipartite
+    match over ALL notes) need not repeat 3x per song."""
+    if _parsed is None:
+        _parsed = _parse_pair(ref_path, est_path)
+    ref_mid, est_mid, ref_ns, est_ns = _parsed
+
+    res: Dict[str, object] = {}
+    res.update(_agnostic if _agnostic is not None
+               else _agnostic_onset_scores(ref_ns, est_ns))
 
     # group notes by (granular program, is_drum)
     def group(mid):
@@ -147,6 +165,11 @@ def program_aware_note_scores(ref_path, est_path,
 
 def loop_transcription_eval(ref_mid, est_mid):
     """Track-matching F1 (separability metric; reference: evaluate.py:240-271)."""
+    if not ref_mid.instruments or not est_mid.instruments:
+        # an empty transcription (early checkpoint, silent clip) scores 0
+        # instead of crashing np.max over a zero-size axis (the reference
+        # would crash here; this metric is reported, not parity-compared)
+        return 0.0, len(ref_mid.instruments), len(est_mid.instruments)
     score_matrix = np.zeros((len(ref_mid.instruments),
                              len(est_mid.instruments)))
     for i, ref_inst in enumerate(ref_mid.instruments):
@@ -202,10 +225,13 @@ def evaluate_main(
 
     def song_scores(item):
         ref_path, est_path = item
+        parsed = _parse_pair(ref_path, est_path)
+        agnostic = _agnostic_onset_scores(parsed[2], parsed[3])
         results = {}
         for granularity in ['flat', 'full', 'midi_class']:
             results.update(program_aware_note_scores(
-                ref_path, est_path, granularity))
+                ref_path, est_path, granularity,
+                _parsed=parsed, _agnostic=agnostic))
         return results
 
     scores = collections.defaultdict(list)

@@ -267,16 +267,37 @@ def read_midi(path_or_bytes) -> MidiFile:
     midi = MidiFile(ticks_per_quarter=tpq,
                     tempo_changes=tempo_map.tempo_changes_qpm)
     instrument_map: Dict[Tuple[int, int, int], MidiInstrument] = {}
+    # pretty_midi's "straggler" semantics (PrettyMIDI._load_instruments):
+    # a CC/pitch-bend NEVER creates a real instrument — before the first
+    # note on a (channel, track) it lands on a straggler, whose event
+    # lists are carried (as the same list objects, matching pretty_midi's
+    # aliasing) into each instrument later created on that channel/track.
+    # Stragglers that never see a note are dropped entirely, so CC-only
+    # channels do not fabricate empty instruments, and a sustain pedal
+    # recorded before the first note still governs that instrument's
+    # notes in apply_sustain_control_changes.
+    stragglers: Dict[Tuple[int, int], MidiInstrument] = {}
 
     def get_instrument(program: int, channel: int, track: int,
-                       name: str) -> MidiInstrument:
+                       name: str, create_new: bool) -> MidiInstrument:
         key = (program, channel, track)
-        if key not in instrument_map:
-            inst = MidiInstrument(program=program, is_drum=(channel == 9),
-                                  name=name)
+        if key in instrument_map:
+            return instrument_map[key]
+        skey = (channel, track)
+        if not create_new and skey in stragglers:
+            return stragglers[skey]
+        inst = MidiInstrument(program=program, is_drum=(channel == 9),
+                              name=name)
+        if skey in stragglers:
+            straggler = stragglers[skey]
+            inst.control_changes = straggler.control_changes
+            inst.pitch_bends = straggler.pitch_bends
+        if create_new:
             instrument_map[key] = inst
             midi.instruments.append(inst)
-        return instrument_map[key]
+        else:
+            stragglers[skey] = inst
+        return inst
 
     for track_idx, (events, name) in enumerate(all_tracks):
         # open note-ons per (channel, pitch): list of (start_tick, velocity)
@@ -298,7 +319,8 @@ def read_midi(path_or_bytes) -> MidiFile:
                     to_keep = [(s, v) for s, v in open_notes if s == end_tick]
                     for start_tick, velocity in to_close:
                         inst = get_instrument(channel_program[ev.channel],
-                                              ev.channel, track_idx, name)
+                                              ev.channel, track_idx, name,
+                                              create_new=True)
                         inst.notes.append(MidiNote(
                             velocity=velocity, pitch=ev.a,
                             start=tempo_map.time(start_tick),
@@ -309,12 +331,12 @@ def read_midi(path_or_bytes) -> MidiFile:
                         del last_note_on[key]
             elif ev.kind == 'control':
                 inst = get_instrument(channel_program[ev.channel], ev.channel,
-                                      track_idx, name)
+                                      track_idx, name, create_new=False)
                 inst.control_changes.append(MidiControlChange(
                     number=ev.a, value=ev.b, time=tempo_map.time(ev.tick)))
             elif ev.kind == 'pitch_bend':
                 inst = get_instrument(channel_program[ev.channel], ev.channel,
-                                      track_idx, name)
+                                      track_idx, name, create_new=False)
                 bend = ((ev.b << 7) | ev.a) - 8192
                 inst.pitch_bends.append(MidiPitchBend(
                     pitch=bend, time=tempo_map.time(ev.tick)))

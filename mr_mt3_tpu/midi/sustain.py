@@ -25,9 +25,11 @@ def apply_sustain_control_changes(
 ) -> NoteSequence:
     """Return a copy with sustain-extended note durations.
 
-    Event ordering matches note_seq: events sorted stably by time with CC
-    events enqueued before note-ons before note-offs, so ties at equal times
-    resolve identically.
+    Event ordering matches note_seq: sorted by (time, event type) with the
+    type constants ordered SUSTAIN_ON < SUSTAIN_OFF < NOTE_ON < NOTE_OFF,
+    so ties at equal times resolve identically — in particular a pedal
+    release and re-press at the same timestamp leaves the pedal OFF
+    (the ON is processed first) regardless of their order in the CC list.
     """
     sequence = note_sequence.copy()
 
@@ -40,7 +42,7 @@ def apply_sustain_control_changes(
                    for note in sequence.notes])
     events.extend([(note.end_time, _NOTE_OFF, note)
                    for note in sequence.notes])
-    events.sort(key=lambda e: e[0])  # stable: insertion order breaks ties
+    events.sort(key=lambda e: (e[0], e[1]))  # type constants break ties
 
     active_notes = collections.defaultdict(list)  # instrument -> notes
     sus_active = collections.defaultdict(lambda: False)

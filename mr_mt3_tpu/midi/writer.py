@@ -56,6 +56,9 @@ def note_sequence_to_midi_bytes(ns: NoteSequence,
     for cc in ns.control_changes:
         key = (cc.instrument, cc.program, cc.is_drum)
         groups.setdefault(key, [])
+    for pb in ns.pitch_bends:
+        key = (pb.instrument, pb.program, pb.is_drum)
+        groups.setdefault(key, [])
 
     # Conductor track: tempo (+ implicit 4/4).
     tempo_us = int(round(6e7 / qpm))
@@ -72,6 +75,9 @@ def note_sequence_to_midi_bytes(ns: NoteSequence,
     cc_by_group: Dict[Tuple[int, int, bool], list] = collections.defaultdict(list)
     for cc in ns.control_changes:
         cc_by_group[(cc.instrument, cc.program, cc.is_drum)].append(cc)
+    pb_by_group: Dict[Tuple[int, int, bool], list] = collections.defaultdict(list)
+    for pb in ns.pitch_bends:
+        pb_by_group[(pb.instrument, pb.program, pb.is_drum)].append(pb)
 
     for key, notes in groups.items():
         _, program, is_drum = key
@@ -88,6 +94,14 @@ def note_sequence_to_midi_bytes(ns: NoteSequence,
                            bytes([0xB0 | channel,
                                   int(cc.control_number) & 0x7F,
                                   int(cc.control_value) & 0x7F])))
+        for pb in pb_by_group.get(key, []):
+            # bend is -8192..8191; the wire value is the 14-bit unsigned
+            # offset (note_seq writes these through pretty_midi the same
+            # way — a read-write round trip must not drop them)
+            raw = max(0, min(0x3FFF, int(pb.bend) + 8192))
+            events.append((to_tick(pb.time), 1,
+                           bytes([0xE0 | channel, raw & 0x7F,
+                                  (raw >> 7) & 0x7F])))
         for note in notes:
             pitch = int(note.pitch) & 0x7F
             vel = max(1, min(127, int(note.velocity)))

@@ -84,6 +84,11 @@ class TestTokenTable:
         assert token_name(1388) == 'invalid_1388'
         for idx in [0, 55, 999, 1001, 1130, 1131, 1132, 1259, 1260, 1387]:
             assert token_from_name(token_name(idx)) == idx
+        # the last shift id (1000) is a VALID codec token but the debug
+        # table calls it invalid — bug-compatible with the reference's
+        # own off-by-one (run_length_encoding.py:73)
+        assert codec.is_shift_event_index(1000)
+        assert token_name(1000) == 'invalid_1000'
 
 
 class TestVocabulary:

@@ -294,3 +294,24 @@ class TestAuxEvalHelpers:
                                                    read_midi(ref))
         assert f1 == 1.0  # self-match: every track finds itself
         assert n_ref == n_est == 2
+
+    def test_loop_transcription_eval_empty_est(self, tmp_path):
+        """An empty transcription (untrained model, silent clip) scores 0
+        instead of crashing np.max over a zero-size axis."""
+        from mr_mt3_tpu.eval.evaluate import loop_transcription_eval
+        from mr_mt3_tpu.midi import read_midi
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+
+        ns = nsq.NoteSequence()
+        ns.add_note(start_time=0.0, end_time=0.4, pitch=60, velocity=100,
+                    program=0, is_drum=False, instrument=0)
+        ns.total_time = 0.4
+        ref = tmp_path / 'ref.mid'
+        est = tmp_path / 'est.mid'
+        note_sequence_to_midi_file(ns, ref)
+        note_sequence_to_midi_file(nsq.NoteSequence(), est)
+        f1, n_ref, n_est = loop_transcription_eval(read_midi(ref),
+                                                   read_midi(est))
+        assert f1 == 0.0
+        assert (n_ref, n_est) == (1, 0)

@@ -197,6 +197,30 @@ class TestSustain:
         out = apply_sustain_control_changes(ns)
         assert out.notes[0].end_time == pytest.approx(0.5)
 
+    def test_same_time_release_and_repress_leaves_pedal_off(self):
+        """note_seq sorts events by (time, type) with SUSTAIN_ON before
+        SUSTAIN_OFF, so a release+re-press at the same timestamp nets to
+        pedal OFF regardless of CC list order — a list-order tie-break
+        would leave the pedal stuck ON and extend every later note."""
+        ns = _make_ns([(0.0, 0.5, 60, 100, 0, False, 0),
+                       (2.5, 2.7, 62, 100, 0, False, 0)])
+        ns.control_changes.append(ControlChange(
+            time=0.1, control_number=64, control_value=100, instrument=0))
+        # same-time pair listed OFF-then-ON (the adversarial order); a
+        # list-order tie-break would process OFF first and leave the
+        # pedal stuck ON, so the 3.5 s release would extend note 2
+        ns.control_changes.append(ControlChange(
+            time=2.0, control_number=64, control_value=0, instrument=0))
+        ns.control_changes.append(ControlChange(
+            time=2.0, control_number=64, control_value=100, instrument=0))
+        ns.control_changes.append(ControlChange(
+            time=3.5, control_number=64, control_value=0, instrument=0))
+        out = apply_sustain_control_changes(ns)
+        first = min(out.notes, key=lambda n: n.start_time)
+        later = max(out.notes, key=lambda n: n.start_time)
+        assert first.end_time == pytest.approx(2.0)  # released at 2.0
+        assert later.end_time == pytest.approx(2.7)  # pedal OFF after 2.0
+
     def test_sustain_roundtrip_through_midi(self, tmp_path):
         # write CCs to MIDI, read back, apply sustain
         ns = _make_ns([(0.0, 0.5, 60, 100, 5, False, 0)])
@@ -212,3 +236,67 @@ class TestSustain:
         assert len(back.control_changes) == 2
         out = apply_sustain_control_changes(back)
         assert out.notes[0].end_time == pytest.approx(1.2, abs=0.003)
+
+
+def _smf(track_events: bytes, tpq: int = 220) -> bytes:
+    """Minimal single-track SMF wrapper for hand-ordered event bytes."""
+    track = track_events + bytes([0x00, 0xFF, 0x2F, 0x00])
+    return (b'MThd' + (6).to_bytes(4, 'big') + (0).to_bytes(2, 'big')
+            + (1).to_bytes(2, 'big') + tpq.to_bytes(2, 'big')
+            + b'MTrk' + len(track).to_bytes(4, 'big') + track)
+
+
+class TestStragglerSemantics:
+    """pretty_midi's _load_instruments: CC/pitch-bend events never create
+    real instruments — pre-note events are carried into the instrument
+    the notes eventually create, and CC-only channels yield nothing."""
+
+    def test_cc_before_program_change_joins_note_instrument(self):
+        # CC64 arrives BEFORE the program change and the first note; a
+        # naive reader would create a (program 0) instrument for the CC
+        # and a (program 32) instrument for the notes, detaching the
+        # sustain pedal from the notes it governs
+        data = _smf(bytes([
+            0x00, 0xB0, 0x40, 0x64,   # CC64=100 on ch0 (pre-note)
+            0x00, 0xC0, 0x20,         # program change -> 32
+            0x0A, 0x90, 0x3C, 0x64,   # note on
+            0x64, 0x80, 0x3C, 0x00,   # note off
+        ]))
+        midi = read_midi(data)
+        assert len(midi.instruments) == 1
+        inst = midi.instruments[0]
+        assert inst.program == 32
+        assert len(inst.notes) == 1
+        assert [cc.number for cc in inst.control_changes] == [64]
+        # and through the NoteSequence view the CC shares the note's
+        # instrument index, so apply_sustain_control_changes matches them
+        ns = midi_to_note_sequence(midi)
+        assert ns.control_changes[0].instrument == 0
+
+    def test_cc_only_channel_yields_no_instrument(self):
+        data = _smf(bytes([
+            0x00, 0xB1, 0x07, 0x7F,   # volume CC on ch1 — never any note
+            0x00, 0xC0, 0x05,         # ch0: program 5
+            0x00, 0x90, 0x3C, 0x64,
+            0x64, 0x80, 0x3C, 0x00,
+        ]))
+        midi = read_midi(data)
+        assert len(midi.instruments) == 1
+        assert midi.instruments[0].program == 5
+
+
+class TestPitchBendRoundTrip:
+    def test_writer_preserves_pitch_bends(self, tmp_path):
+        """A read-write round trip must not drop pitch bends
+        (note_seq's writer emits them through pretty_midi)."""
+        ns = _make_ns([(0.0, 0.5, 60, 100, 7, False, 0)])
+        from mr_mt3_tpu.codec.note_sequences import PitchBend
+        ns.pitch_bends.append(PitchBend(
+            time=0.25, bend=1234, instrument=0, program=7))
+        ns.pitch_bends.append(PitchBend(
+            time=0.4, bend=-8192, instrument=0, program=7))
+        path = tmp_path / 'bend.mid'
+        note_sequence_to_midi_file(ns, path)
+        back = midi_file_to_note_sequence(path)
+        assert sorted(pb.bend for pb in back.pitch_bends) == [-8192, 1234]
+        assert back.pitch_bends[0].instrument == 0
