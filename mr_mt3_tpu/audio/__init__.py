@@ -10,4 +10,10 @@ from mr_mt3_tpu.audio.frontend import (
     normalize_logmel,
     split_audio,
 )
-from mr_mt3_tpu.audio.io import read_audio, read_wav, resample, write_wav
+from mr_mt3_tpu.audio.io import (
+    read_audio,
+    read_wav,
+    read_wav_bytes,
+    resample,
+    write_wav,
+)

@@ -23,10 +23,18 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
     """
     with open(path, 'rb') as f:
         data = f.read()
+    return read_wav_bytes(data, name=str(path))
+
+
+def read_wav_bytes(data: bytes, name: str = '<bytes>'
+                   ) -> Tuple[np.ndarray, int]:
+    """read_wav on in-memory bytes (serving parses client uploads without
+    a temp-file round trip)."""
     if data[:4] != b'RIFF' or data[8:12] != b'WAVE':
-        raise ValueError(f'not a RIFF/WAVE file: {path}')
+        raise ValueError(f'not a RIFF/WAVE file: {name}')
     pos = 12
     fmt = None
+    fmt_body = b''
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -34,16 +42,23 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + chunk_size]
         if chunk_id == b'fmt ':
             fmt = struct.unpack('<HHIIHH', body[:16])
+            fmt_body = body
         elif chunk_id == b'data':
             raw = body
         pos += 8 + chunk_size + (chunk_size & 1)
     if fmt is None or raw is None:
-        raise ValueError(f'missing fmt/data chunk: {path}')
+        raise ValueError(f'missing fmt/data chunk: {name}')
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == 0xFFFE:
-        # WAVE_FORMAT_EXTENSIBLE: assume integer PCM subformat (the common
-        # case for the 24-bit files this pipeline produces)
-        audio_format = 1
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the SubFormat GUID (1 = int PCM, 3 = IEEE float) —
+        # many DAWs/ffmpeg write float WAVs this way, and assuming PCM
+        # would reinterpret the float bits as int32 (silent garbage)
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack('<H', fmt_body[24:26])[0]
+        else:
+            audio_format = 1  # truncated extension: the pipeline's own
+            # 24-bit files carry no SubFormat and are integer PCM
 
     if audio_format == 3:  # IEEE float
         dtype = np.float32 if bits == 32 else np.float64

@@ -31,13 +31,22 @@ struct BitReader {
 
   bool eof() const { return byte_pos >= size; }
 
+  // byte-at-a-time extraction: this reader sits on the serving path
+  // parsing UNTRUSTED client FLAC, so a per-bit loop would be a ~10x
+  // CPU amplifier on large rice/verbatim streams
   uint64_t bits(int n) {
     if (n < 0 || n > 64) { error = true; return 0; }
     uint64_t v = 0;
-    for (int i = 0; i < n; ++i) {
+    while (n > 0) {
       if (byte_pos >= size) { error = true; return 0; }
-      v = (v << 1) | ((data[byte_pos] >> (7 - bit_pos)) & 1);
-      if (++bit_pos == 8) { bit_pos = 0; ++byte_pos; }
+      int avail = 8 - bit_pos;
+      int take = n < avail ? n : avail;
+      int shift = avail - take;
+      v = (v << take) |
+          (uint64_t)((data[byte_pos] >> shift) & ((1u << take) - 1));
+      bit_pos += take;
+      if (bit_pos == 8) { bit_pos = 0; ++byte_pos; }
+      n -= take;
     }
     return v;
   }
@@ -51,10 +60,24 @@ struct BitReader {
 
   uint32_t unary() {
     uint32_t q = 0;
-    while (!error && bits(1) == 0) {
-      ++q;
+    while (!error) {
+      if (byte_pos >= size) { error = true; break; }
+      uint8_t cur = (uint8_t)(data[byte_pos] << bit_pos);
+      if (cur == 0) {  // remaining bits of this byte are all zeros
+        q += (uint32_t)(8 - bit_pos);
+        bit_pos = 0;
+        ++byte_pos;
+      } else {
+        int lz = 0;
+        while (!(cur & 0x80)) { cur = (uint8_t)(cur << 1); ++lz; }
+        q += (uint32_t)lz;
+        bit_pos += lz + 1;  // the zeros plus the terminating 1
+        if (bit_pos >= 8) { bit_pos -= 8; ++byte_pos; }
+        break;
+      }
       if (q > 1u << 24) { error = true; break; }
     }
+    if (q > 1u << 24) error = true;
     return q;
   }
 
@@ -299,9 +322,10 @@ bool decode_flac(const uint8_t* data, size_t size, DecodedAudio* out) {
     if (ch_code <= 7) nch = (int)ch_code + 1;
     else if (ch_code <= 10) nch = 2;
     else return false;  // 11-15 reserved
-    // a frame claiming more channels than STREAMINFO would write past
-    // the per-channel buffers
-    if (nch > (int)info.channels) return false;
+    // every frame must match STREAMINFO's channel count (FLAC spec):
+    // more would write past the per-channel buffers, fewer would
+    // misalign the interleaved output for every later frame
+    if (nch != (int)info.channels) return false;
 
     for (int c = 0; c < nch; ++c) {
       int sub_bps = bps;
@@ -421,8 +445,19 @@ void encode_channel(BitWriter& bw, const std::vector<int64_t>& x, int bps,
   } else {
     order = std::min(2, n);
   }
+  // a block shorter than the analysis window cannot carry the forced
+  // LPC order — fall back to a fixed predictor instead of indexing an
+  // empty qcoef / reading warmup samples past the block
+  if (use_lpc && n <= order * 2) {
+    use_lpc = false;
+    order = std::min(2, n);
+  }
+  // fixed predictors exist for orders 0-4 only, and the warmup must
+  // fit the block (a forced order larger than the final short block
+  // would read x[] out of bounds)
+  if (!use_lpc) order = std::min(order, std::min(n, 4));
 
-  if (use_lpc && n > order * 2) {
+  if (use_lpc) {
     // autocorrelation + Levinson-Durbin
     std::vector<double> ac(order + 1, 0.0);
     for (int k = 0; k <= order; ++k)
@@ -533,10 +568,22 @@ std::vector<uint8_t> encode_flac(const int32_t* samples, int64_t n_frames,
     uint32_t ss_code = bps == 8 ? 1 : bps == 16 ? 4 : bps == 24 ? 6 : 0;
     bw.bits(ss_code, 3);
     bw.bits(0, 1);
-    // frame number, UTF-8
-    if (frame_idx < 0x80) bw.bits(frame_idx, 8);
-    else {
+    // frame number, UTF-8 (3- and 4-byte forms matter: frame 2048 of a
+    // long file would otherwise write 0xE0 as a 2-byte lead, which the
+    // decoder parses as a 3-byte sequence and desyncs)
+    if (frame_idx < 0x80) {
+      bw.bits(frame_idx, 8);
+    } else if (frame_idx < 0x800) {
       bw.bits(0xC0 | (frame_idx >> 6), 8);
+      bw.bits(0x80 | (frame_idx & 0x3F), 8);
+    } else if (frame_idx < 0x10000) {
+      bw.bits(0xE0 | (frame_idx >> 12), 8);
+      bw.bits(0x80 | ((frame_idx >> 6) & 0x3F), 8);
+      bw.bits(0x80 | (frame_idx & 0x3F), 8);
+    } else {
+      bw.bits(0xF0 | (frame_idx >> 18), 8);
+      bw.bits(0x80 | ((frame_idx >> 12) & 0x3F), 8);
+      bw.bits(0x80 | ((frame_idx >> 6) & 0x3F), 8);
       bw.bits(0x80 | (frame_idx & 0x3F), 8);
     }
     bw.bits((uint64_t)block - 1, 16);
@@ -618,12 +665,18 @@ struct FlacBytes {
 int mt3_flac_encode(const int32_t* samples, int64_t n_frames,
                     int32_t channels, int32_t sample_rate, int32_t bps,
                     int32_t force_mode, int32_t mid_side, FlacBytes* out) {
-  auto bytes = encode_flac(samples, n_frames, channels, sample_rate, bps,
-                           force_mode, mid_side != 0);
-  out->size = (int64_t)bytes.size();
-  out->data = new uint8_t[bytes.size()];
-  std::copy(bytes.begin(), bytes.end(), out->data);
-  return 0;
+  // same invariant as mt3_flac_decode: an exception unwinding through
+  // the C ABI into ctypes is UB (in practice std::terminate)
+  try {
+    auto bytes = encode_flac(samples, n_frames, channels, sample_rate, bps,
+                             force_mode, mid_side != 0);
+    out->size = (int64_t)bytes.size();
+    out->data = new uint8_t[bytes.size()];
+    std::copy(bytes.begin(), bytes.end(), out->data);
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 void mt3_flac_bytes_free(FlacBytes* b) {

@@ -3,18 +3,11 @@
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, 'libmt3flac.so')
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
+from mr_mt3_tpu.native._loader import LazyNativeLib
 
 
 class _FlacAudio(ctypes.Structure):
@@ -34,27 +27,16 @@ class _FlacBytes(ctypes.Structure):
     ]
 
 
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.mt3_flac_decode.restype = ctypes.c_int
+    lib.mt3_flac_encode.restype = ctypes.c_int
+
+
+_LOADER = LazyNativeLib('libmt3flac.so', 'libmt3flac.so', _configure)
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(['make', '-C', _DIR, 'libmt3flac.so'],
-                               check=True, capture_output=True)
-            except Exception:
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            _build_failed = True
-            return None
-        lib.mt3_flac_decode.restype = ctypes.c_int
-        lib.mt3_flac_encode.restype = ctypes.c_int
-        _lib = lib
-        return _lib
+    return _LOADER.load()
 
 
 def flac_available() -> bool:

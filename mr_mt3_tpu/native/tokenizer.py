@@ -10,20 +10,12 @@ available (native_available() == False).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 from mr_mt3_tpu.codec.events import Codec
-
-_DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, 'libmt3tokenizer.so')
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
+from mr_mt3_tpu.native._loader import LazyNativeLib
 
 
 class _TokenizerResult(ctypes.Structure):
@@ -38,27 +30,17 @@ class _TokenizerResult(ctypes.Structure):
     ]
 
 
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.mt3_encode_song.restype = ctypes.c_int
+    lib.mt3_free_result.restype = None
+
+
+# no make target: the Makefile default builds the tokenizer library
+_LOADER = LazyNativeLib('libmt3tokenizer.so', configure=_configure)
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(['make', '-C', _DIR], check=True,
-                               capture_output=True)
-            except Exception:
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            _build_failed = True
-            return None
-        lib.mt3_encode_song.restype = ctypes.c_int
-        lib.mt3_free_result.restype = None
-        _lib = lib
-        return _lib
+    return _LOADER.load()
 
 
 def native_available() -> bool:

@@ -320,12 +320,8 @@ def make_server(handler, port: int, info=None):
                 samples, sr = decode_flac_bytes(body)
                 samples = samples.mean(axis=1)
             elif body[:4] == b'RIFF':
-                import tempfile
-                from mr_mt3_tpu.audio import read_wav
-                with tempfile.NamedTemporaryFile(suffix='.wav') as f:
-                    f.write(body)
-                    f.flush()
-                    samples, sr = read_wav(f.name)
+                from mr_mt3_tpu.audio import read_wav_bytes
+                samples, sr = read_wav_bytes(body)
             else:
                 raise ValueError('body must be WAV or FLAC bytes')
         except (struct.error, IndexError, KeyError) as e:

@@ -193,6 +193,42 @@ class TestWavIO:
         with pytest.raises(ValueError):
             read_wav(p)
 
+    def test_extensible_float_uses_subformat_guid(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE carries the real format code in the
+        SubFormat GUID — an extensible FLOAT WAV (what many DAWs/ffmpeg
+        emit) must decode as float, not have its bits reinterpreted as
+        int32 PCM (silent near-zero garbage)."""
+        import struct
+        x = _tone(500).astype(np.float32)
+        payload = x.tobytes()
+        # fmt chunk: 16 base + cbSize(22) extension with SubFormat GUID
+        sub_fmt_float = struct.pack('<H', 3) + b'\x00' * 14
+        fmt_body = (struct.pack('<HHIIHH', 0xFFFE, 1, 16000, 16000 * 4,
+                                4, 32)
+                    + struct.pack('<HHI', 22, 32, 0x4) + sub_fmt_float)
+        data = (b'RIFF'
+                + struct.pack('<I', 4 + 8 + len(fmt_body) + 8 + len(payload))
+                + b'WAVE'
+                + b'fmt ' + struct.pack('<I', len(fmt_body)) + fmt_body
+                + b'data' + struct.pack('<I', len(payload)) + payload)
+        p = tmp_path / 'ext_float.wav'
+        p.write_bytes(data)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y, x, atol=1e-7)
+
+    def test_read_wav_bytes_matches_file(self, tmp_path):
+        """serve.py parses uploads from memory — byte and file paths must
+        agree (no temp-file round trip needed)."""
+        from mr_mt3_tpu.audio import read_wav_bytes
+        x = _tone(800)
+        p = tmp_path / 'm.wav'
+        write_wav(p, x, 16000, subtype='PCM_16')
+        y_file, sr1 = read_wav(p)
+        y_bytes, sr2 = read_wav_bytes(p.read_bytes())
+        assert sr1 == sr2 == 16000
+        np.testing.assert_array_equal(y_file, y_bytes)
+
     def test_truncations_never_crash(self, tmp_path):
         """Every truncation of a valid file parses or raises a clean
         parse error (ValueError/struct.error) — serve.py maps those to

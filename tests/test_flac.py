@@ -65,6 +65,29 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             (y * 32768.0).round().astype(np.int32), x)
 
+    def test_long_audio_past_2048_frames(self):
+        """Frame numbers >= 2048 need the 3-byte UTF-8 form; a 2-byte-only
+        encoder writes 0xE0 as a 2-byte lead, which the decoder parses as
+        a 3-byte sequence and desyncs mid-stream (~3 min at 44.1 kHz)."""
+        n = 4096 * 2050 + 17  # 2051 frames
+        x = (np.arange(n, dtype=np.int64) % 997 - 498).astype(np.int32)
+        data = encode_flac_bytes(x, 16000)
+        y, sr = decode_flac_bytes(data)
+        assert sr == 16000
+        np.testing.assert_array_equal(
+            (y[:, 0] * 32768.0).round().astype(np.int32), x)
+
+    @pytest.mark.parametrize('mode,n', [(104, 4101), (4, 4097), (108, 4100)])
+    def test_forced_order_short_final_block(self, mode, n):
+        """A final block shorter than the forced predictor order must fall
+        back to a fitting fixed order instead of reading warmup samples or
+        coefficients out of bounds."""
+        x = _tone(n)
+        data = encode_flac_bytes(x, 16000, force_mode=mode)
+        y, _ = decode_flac_bytes(data)
+        np.testing.assert_array_equal(
+            (y * 32768.0).round().astype(np.int32), x)
+
     def test_noise_roundtrip(self):
         rng = np.random.default_rng(0)
         x = rng.integers(-30000, 30000, size=(8000, 2)).astype(np.int32)
