@@ -97,13 +97,17 @@ class InferenceHandler:
                  quantize: str = 'none',
                  mesh=None):
         if model is None:
-            cfg = MT3Config()
-            model = MT3(cfg)
+            model = MT3(MT3Config())
+        if variables is None:
+            # a provided model without variables loads weight_path into
+            # it (previously weight_path was silently ignored when a
+            # model was passed, deferring to an opaque crash in decode)
             if weight_path is None:
                 raise ValueError('need model+variables or weight_path')
             from mr_mt3_tpu.utils.checkpoint_import import (
                 load_torch_checkpoint)
-            variables = {'params': load_torch_checkpoint(weight_path, cfg)}
+            variables = {
+                'params': load_torch_checkpoint(weight_path, model.cfg)}
         self.model = model
         self.variables = variables
         self.cfg = model.cfg
@@ -263,7 +267,13 @@ class InferenceHandler:
         sizes = [cap] * (n_real // cap)
         rem = n_real % cap
         if rem:
-            sizes.append(bucket(rem))
+            # pow2-bucketing then rounding up to n_data can exceed the
+            # cap on non-pow2 meshes (rem=40, n_data=6: bucket -> 66 >
+            # cap 48); the per-call cap is hard (kernel grouping fails
+            # above it), so clamp the remainder to one full-cap call —
+            # cap is itself a multiple of n_data and an already-warmed
+            # shape
+            sizes.append(min(bucket(rem), cap))
         return sizes
 
     def _call_in_sizes(self, fn, stacked: np.ndarray, sizes: list,

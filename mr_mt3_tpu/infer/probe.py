@@ -19,8 +19,14 @@ def probe_audio(num_segments: int = 2, sample_rate: int = 16000
     """The canonical deterministic probe signal: a chord + percussion-ish
     bursts, so logits are exercised on music-like (not silent) input.
     Shared by the quantize guard and serving prewarm so the warmed
-    program sees the same numerics the guard validated."""
-    n = num_segments * 256 * 128
+    program sees the same numerics the guard validated.
+
+    Sized 64 samples SHORT of an exact hop multiple: the frontend pads a
+    full extra hop when the length divides the hop (bug-compat with the
+    reference's pad_end framing), so an exact multiple would gain a
+    whole extra all-padding segment and every probe would decode one
+    pow2 bucket more rows than asked for."""
+    n = num_segments * 256 * 128 - 64
     t = np.arange(n, dtype=np.float32) / sample_rate
     audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)      # C4
              + 0.2 * np.sin(2 * np.pi * 329.63 * t)    # E4

@@ -161,9 +161,18 @@ def get_scores(
         except Exception:
             import traceback
             traceback.print_exc()
-            # fall back to one-by-one so a bad song only skips itself
+            # fall back to one-by-one so a bad song only skips itself —
+            # including a song whose AUDIO fails to load (quite possibly
+            # the very error that broke the batch): an unguarded reload
+            # here would abort the whole eval, and in multihost mode
+            # leave the other processes hanging at the sync barrier
             for fname in chunk:
-                handler.inference(audio=load_eval_audio(fname, eval_dataset),
+                try:
+                    audio = load_eval_audio(fname, eval_dataset)
+                except Exception:
+                    traceback.print_exc()
+                    continue
+                handler.inference(audio=audio,
                                   audio_path=str(fname),
                                   outpath=outpath_for(fname),
                                   verbose=verbose)

@@ -120,6 +120,13 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
     keys pad with -100 (the CE ignore index) and everything else with
     zeros, so padding rows contribute exactly nothing to the masked losses
     — partial final batches are unbiased, not reweighted.
+
+    MULTIHOST INVARIANT: every process must call this with the SAME local
+    row count each step — the global shape is derived from the local one,
+    so disagreeing row counts produce inconsistent global shapes and a
+    crash or collective hang. The DataLoader guarantees this under
+    sharding (equal counts of full-size batches per rank; see
+    data/loader.py _batches); direct callers must do the same.
     """
     n_data = mesh.shape['data']
     procs = jax.process_count()

@@ -70,11 +70,18 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     use_schedule: bool = True,
+    schedule=None,
 ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (wd applied to every parameter, as
     torch AdamW does with a single param group — reference tasks use
-    AdamW(params, lr) with default weight_decay=0.01)."""
-    if use_schedule:
+    AdamW(params, lr) with default weight_decay=0.01).
+
+    schedule: pass a prebuilt LR schedule to use verbatim (callers that
+    also need the schedule for logging build it once instead of keeping
+    a second copy in sync with the construction here)."""
+    if schedule is not None:
+        pass
+    elif use_schedule:
         if warmup_steps is None or total_steps is None:
             raise ValueError('schedule needs warmup_steps and total_steps')
         schedule = cosine_schedule_with_warmup(

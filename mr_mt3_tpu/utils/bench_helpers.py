@@ -19,15 +19,10 @@ def zero_variables(model):
     """Zero parameter pytree for `model` without touching the device."""
     import jax
     import jax.numpy as jnp
-    cfg = model.cfg
-    kwargs = ({'targets_prev': jnp.zeros((1, 4), jnp.int32)}
-              if cfg.has_segmem else {})
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 256, cfg.mel_bins)),
-                           decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
-                           **kwargs))
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    from mr_mt3_tpu.utils.builders import param_shapes
+    return {'params': jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                   param_shapes(model))}
 
 
 def time_best(fn, make_args, reps: int = 3) -> float:

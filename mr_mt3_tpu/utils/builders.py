@@ -56,16 +56,15 @@ def build_optimizer(cfg: ConfigNode):
     use_schedule = bool(task.get('use_scheduler', True))
     total_steps = int(optim.num_steps_per_epoch) * int(optim.num_epochs)
     if use_schedule:
-        optimizer = make_optimizer(
-            lr=float(optim.lr),
-            warmup_steps=int(optim.warmup_steps or 0),
-            total_steps=total_steps,
-            min_lr=float(optim.min_lr or 0.0),
-            use_schedule=True)
         from mr_mt3_tpu.train.optim import cosine_schedule_with_warmup
+        # built ONCE and passed into the optimizer: the same callable is
+        # what the trainer logs, so the two can never drift (and
+        # warmup_steps: null means 0, like min_lr)
         schedule = cosine_schedule_with_warmup(
-            float(optim.lr), int(optim.warmup_steps), total_steps,
+            float(optim.lr), int(optim.warmup_steps or 0), total_steps,
             min_lr_multiplier=float(optim.min_lr or 0.0))
+        optimizer = make_optimizer(
+            lr=float(optim.lr), use_schedule=True, schedule=schedule)
     else:
         optimizer = make_optimizer(lr=float(optim.lr), use_schedule=False)
         schedule = None

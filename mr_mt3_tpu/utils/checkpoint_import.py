@@ -125,6 +125,13 @@ def import_torch_state_dict(state_dict: Mapping[str, Any],
 
         unused.append(key)
 
+    if unused:
+        # surfaced, not raised: skipping extra keys is load-bearing (a
+        # full-model checkpoint loads into a no-segmem config by design),
+        # but a silently dropped key family (e.g. a renamed block prefix)
+        # should leave a trace in the logs
+        print(f'import_torch_state_dict: {len(unused)} checkpoint keys '
+              f'not mapped (e.g. {unused[:3]})')
     return params
 
 

@@ -121,6 +121,20 @@ TINY_OVERRIDES = [
 ]
 
 
+class TestBuildOptimizer:
+    def test_null_warmup_and_min_lr_mean_zero(self):
+        """`warmup_steps: null` / `min_lr: null` behave like 0 instead of
+        crashing with a TypeError in the schedule construction (the
+        optimizer path already guarded None; the logged schedule didn't)."""
+        from mr_mt3_tpu.utils import builders
+        cfg = load_config(CONFIG_DIR, 'config', overrides=TINY_OVERRIDES + [
+            'optim.warmup_steps=null', 'optim.min_lr=null'])
+        optimizer, schedule = builders.build_optimizer(cfg)
+        assert optimizer is not None
+        # no warmup: the schedule starts at full base LR (cosine at 0)
+        assert float(schedule(0)) == pytest.approx(float(cfg.optim.lr))
+
+
 class TestStrictWeightLoad:
     def test_unexpected_keys_rejected(self):
         """Strict load errors on checkpoint leaves the model does not

@@ -494,6 +494,15 @@ class TestPow2Bucketing:
                               max_length=8, quantize='fused')
         assert hv._call_sizes(65, floor=4, capped=True) == [64, 4]
         assert hv._call_sizes(150, floor=4, capped=True) == [64, 64, 32]
+        # non-pow2 data axis: the pow2 bucket rounded up to n_data can
+        # exceed the hard cap (40 -> bucket 66 > cap 48 at n_data=6);
+        # the remainder must clamp to one full-cap call, never exceed it
+        h6 = _segmem_handler(max_length=8, batch_size=2)
+        h6.n_data = 6
+        assert h6._call_sizes(40, floor=4, capped=True) == [48]
+        assert h6._call_sizes(100, floor=4, capped=True) == [48, 48, 6]
+        assert all(s <= 48 for s in
+                   h6._call_sizes(130, floor=4, capped=True))
 
     def test_pow2_bucket_values(self):
         from mr_mt3_tpu.infer.handler import _pow2_bucket
@@ -608,12 +617,14 @@ class TestAutoQuantize:
         from mr_mt3_tpu.infer.probe import PROBE_MAX_LENGTH, quantize_probe
         assert PROBE_MAX_LENGTH < 1024  # the point of the short probe
         handler = self._handler('fused')  # max_length=12 clamps below it
-        # probe_audio(2) frames into 3 segments (the frame pad adds one)
+        # probe_audio(2) frames into exactly 2 segments (sized 64 samples
+        # short of the hop multiple, so the frontend's full-hop pad does
+        # not add a third all-padding segment)
         _, total = quantize_probe(handler)
-        assert total == 3 * (12 + 1)  # leading start token per row
+        assert total == 2 * (12 + 1)  # leading start token per row
         handler2 = self._handler('fused')
         _, total2 = quantize_probe(handler2, max_length=4)
-        assert total2 == 3 * (4 + 1)
+        assert total2 == 2 * (4 + 1)
 
     def test_full_length_confirm_guards_winner(self, monkeypatch):
         """A tier that probes clean SHORT but flips at the serving
@@ -668,10 +679,10 @@ class TestAutoQuantize:
         monkeypatch.setattr(probe_mod, 'PROBE_MAX_LENGTH', 4)
         handler = self._handler('fused_bf16')
         _, total_short = probe_mod.quantize_probe(handler)
-        assert total_short == 3 * (4 + 1)
+        assert total_short == 2 * (4 + 1)
         _, total_full = probe_mod.quantize_probe(
             handler, max_length=handler.max_length)
-        assert total_full == 3 * (12 + 1)
+        assert total_full == 2 * (12 + 1)
         cache = dict(handler._probe_exact_tokens)
         assert len(cache) == 2  # short + full, both retained
         # re-probing at the short length reuses the cached exact tokens
@@ -762,6 +773,43 @@ class TestAutoQuantize:
             ground_truth_midi_dir=str(tmp_path),
             max_length=8, quantize='auto', verbose=False)
         assert 'Onset F1' in scores
+
+
+    def test_get_scores_skips_unreadable_audio(self, tmp_path, capsys):
+        """One corrupt audio file must skip only itself — the per-song
+        fallback reloads the audio, so the load error must be caught
+        there too or the whole eval dies (and multihost ranks hang at
+        the post-eval sync barrier)."""
+        from mr_mt3_tpu.audio import write_wav
+        from mr_mt3_tpu.codec import note_sequences as nsq
+        from mr_mt3_tpu.infer.scores import get_scores
+        from mr_mt3_tpu.midi import note_sequence_to_midi_file
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        good = tmp_path / 'good.wav'
+        rng = np.random.default_rng(0)
+        write_wav(good, (rng.normal(size=16000 * 2) * 0.05
+                         ).astype(np.float32), 16000)
+        bad = tmp_path / 'bad.wav'
+        bad.write_bytes(b'not audio at all')
+        for name in ('good', 'bad'):
+            ns = nsq.NoteSequence()
+            ns.add_note(start_time=0.1, end_time=0.5, pitch=60,
+                        velocity=100, program=0, is_drum=False, instrument=0)
+            ns.total_time = 2.0
+            note_sequence_to_midi_file(ns, tmp_path / f'{name}.mid')
+        scores = get_scores(
+            model=model, variables=variables,
+            eval_audio_dir=[str(good), str(bad)], eval_dataset='NSynth',
+            exp_tag_name=str(tmp_path / 'out'),
+            ground_truth_midi_dir=str(tmp_path),
+            max_length=8, verbose=False)
+        assert 'Onset F1' in scores  # the good song was still scored
+        assert (tmp_path / 'out' / 'good.mid').exists()
+        assert not (tmp_path / 'out' / 'bad.mid').exists()
 
 
 class TestDataParallelDecode:
