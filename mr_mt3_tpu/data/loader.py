@@ -93,6 +93,7 @@ class DataLoader:
         batches = self._batches()
         out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        expected_rows = [None]  # first batch's row count (sharded mode)
 
         def put_checking_stop(item) -> bool:
             # never block forever on a full queue: an abandoned iterator
@@ -124,8 +125,28 @@ class DataLoader:
                             raise RuntimeError(
                                 f'{len(items) - len(kept)} dataset item(s) '
                                 'failed under multihost sharding')
-                        if not put_checking_stop(
-                                collate_batch(kept) if kept else None):
+                        batch = collate_batch(kept) if kept else None
+                        if batch is not None and self.shard_count > 1:
+                            # beyond failed items, a song with fewer
+                            # windows than num_rows_per_batch also yields
+                            # fewer ROWS (reference parity,
+                            # dataset_2_random.py:395-400) — under SPMD
+                            # that means divergent global shapes and a
+                            # collective hang on the OTHER ranks, so
+                            # fail fast here with the offending batch
+                            rows = next(iter(batch.values())).shape[0]
+                            if expected_rows[0] is None:
+                                expected_rows[0] = rows
+                            elif rows != expected_rows[0]:
+                                raise RuntimeError(
+                                    f'batch of {rows} rows != first '
+                                    f'batch of {expected_rows[0]} under '
+                                    'multihost sharding (a short song? '
+                                    'every process must contribute '
+                                    'identical shapes each step — drop '
+                                    'songs shorter than '
+                                    'num_rows_per_batch windows)')
+                        if not put_checking_stop(batch):
                             return
             except BaseException as e:  # forward to the consumer
                 put_checking_stop(e)

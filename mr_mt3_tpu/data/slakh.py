@@ -269,6 +269,12 @@ class SlakhDatasetWithPrevSegmem(SlakhDataset):
         prev_start = start - self._prev_offset_segments(rng) * self.mel_length
         chunk = transforms.FrameWindow(window.start + start, self.mel_length)
         prev = None
+        # strictly > 0, not >= : a chunk starting exactly one memory
+        # offset into the window has a complete in-bounds previous
+        # segment at prev_start == 0, but the reference drops it
+        # (`if start_length_prev > 0:`,
+        # dataset_2_random_segmem_prev.py:153) — bug-compatible; trained
+        # models expect that distribution
         if prev_start > 0:
             prev = transforms.FrameWindow(window.start + prev_start,
                                           self.mel_length)

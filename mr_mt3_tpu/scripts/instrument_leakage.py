@@ -74,6 +74,12 @@ def main() -> None:
     parser.add_argument('dirs', nargs='+')
     args = parser.parse_args()
     for directory in args.dirs:
+        counts = count_num_instruments(directory, args.ground_truth)
+        if counts:
+            vals = list(counts.values())
+            print(f'{directory}: distinct programs per song '
+                  f'{np.mean(vals):.2f} +/- {np.std(vals):.2f} '
+                  f'({len(vals)} songs)')
         stats = instrument_presence_f1(directory, args.ground_truth)
         print('{}: avg_num_insts: {:.4} +/- {:.4}, prec: {:.4} '
               'rec: {:.4} f1: {:.4}'.format(

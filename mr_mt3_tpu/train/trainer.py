@@ -214,7 +214,12 @@ class MetricsWriter:
 
 @dataclasses.dataclass
 class CheckpointPolicy:
-    """ModelCheckpoint-equivalent knobs (reference: config/config.yaml:30-36)."""
+    """ModelCheckpoint-equivalent knobs (reference: config/config.yaml:30-36).
+
+    monitor: only 'val_loss' is rankable — the top-k selection receives
+    the validation loss (every reference config monitors val_loss);
+    Trainer warns at construction on any other value rather than
+    silently ranking the wrong metric."""
     monitor: str = 'val_loss'
     mode: str = 'min'
     save_last: bool = True
@@ -250,6 +255,11 @@ class Trainer:
         self.out_dir = out_dir
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.policy = checkpoint_policy
+        if self.policy.monitor != 'val_loss':
+            print(f'WARNING: modelcheckpoint.monitor='
+                  f'{self.policy.monitor!r} is not supported — top-k '
+                  f'checkpoints rank by val_loss (mode='
+                  f'{self.policy.mode!r} still applies)')
         self.log_every_n_steps = log_every_n_steps
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.eval_hook = eval_hook

@@ -208,6 +208,18 @@ class TestCliEndToEnd:
         ] + TINY_OVERRIDES
         train_cli.main(argv)
 
+        # resume from the full-state checkpoint: the opt_state probe must
+        # detect it from the on-disk tree metadata (not a full restore)
+        # and take the resumed-state path
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            train_cli.main(argv + [
+                f'path={out_dir}/checkpoints/last',
+                f'out_dir={tmp_path}/resumed'])
+        assert 'resumed full state' in buf.getvalue()
+
         ckpt = out_dir / 'checkpoints' / 'final'
         assert ckpt.exists()
         metrics = (out_dir / 'logs' / 'metrics.jsonl').read_text()

@@ -233,6 +233,29 @@ class TestLoader:
         assert per_rank == [2, 2]
         assert len(seen) == len(set(seen))  # disjoint coverage
 
+    def test_sharded_uneven_item_rows_fail_fast(self):
+        """A short song yields fewer ROWS than its peers (reference
+        parity); under multihost sharding that would diverge the global
+        array shapes and hang the other ranks in a collective — the
+        loader must raise with an actionable message instead."""
+
+        class UnevenRows:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                rows = 1 if i == 2 else 3  # item 2 is the 'short song'
+                return {'x': np.zeros((rows, 2), np.int64)}
+
+        loader = DataLoader(UnevenRows(), batch_size=1, shuffle=False,
+                            num_workers=1, shard_rank=0, shard_count=2)
+        with pytest.raises(RuntimeError, match='multihost sharding'):
+            list(loader)
+        # single-host: variable rows are allowed (they only recompile)
+        loader1 = DataLoader(UnevenRows(), batch_size=1, shuffle=False,
+                             num_workers=1)
+        assert [b['x'].shape[0] for b in loader1] == [3, 3, 1, 3]
+
     def test_abandoned_iterator_stops_producer(self):
         """Breaking out of iteration mid-epoch must not leave the producer
         thread blocked forever on a full prefetch queue."""

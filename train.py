@@ -87,6 +87,12 @@ def main(argv=None):
 
         def eval_hook(params, epoch):
             files = sorted(globlib.glob(cfg.eval.audio_dir))
+            if cfg.eval.eval_dataset == 'NSynth':
+                # same filter test.py applies (no vocals/mallets in the
+                # training vocab) so train-time and test-time F1 score
+                # the identical file set
+                files = [f for f in files
+                         if 'vocal' not in f and 'mallet' not in f]
             if cfg.eval.get('eval_first_n_examples'):
                 files = files[:int(cfg.eval.eval_first_n_examples)]
             scores = get_scores(
@@ -147,12 +153,24 @@ def main(argv=None):
             # full resume when the checkpoint has optimizer state
             # (reference .ckpt semantics: train.py:62-76)
             import orbax.checkpoint as ocp
+            # probe the on-disk TREE STRUCTURE only — a full targetless
+            # restore here would materialize the entire checkpoint
+            # (params + Adam moments, ~3x model size) in host memory
+            # just to test for one key, then restore_state reads it all
+            # again
+            has_opt = False
             try:
-                probe = ocp.StandardCheckpointer().restore(
+                meta = ocp.StandardCheckpointer().metadata(
                     os.path.abspath(path))
+                has_opt = 'opt_state' in meta.item_metadata.tree
             except Exception:
-                probe = None
-            if probe is not None and 'opt_state' in probe:
+                try:
+                    probe = ocp.StandardCheckpointer().restore(
+                        os.path.abspath(path))
+                    has_opt = probe is not None and 'opt_state' in probe
+                except Exception:
+                    has_opt = False
+            if has_opt:
                 base = create_train_state(
                     jax.device_put(params,
                                    param_shardings(params, mesh)),
@@ -166,7 +184,12 @@ def main(argv=None):
                       f'(step {int(resumed_state.step)}, '
                       f'epoch {start_epoch})')
         if resumed_state is None:
-            # warm start from weights only (.pth/.pt/orbax params)
+            # warm start from weights only (.pth/.pt/orbax params).
+            # NOTE: deliberately NO mel_norm special case for the
+            # official mt3.pth here — the reference's train.py also
+            # warm-starts it onto the dataset's normalized mels (the
+            # mel_norm=False switch exists only in test.py:123); the
+            # continual-training recipe relies on that exact setup
             loaded, step = builders.load_weights(path, model,
                                                  like_params=params)
             params = loaded
