@@ -216,10 +216,11 @@ class MetricsWriter:
 class CheckpointPolicy:
     """ModelCheckpoint-equivalent knobs (reference: config/config.yaml:30-36).
 
-    monitor: only 'val_loss' is rankable — the top-k selection receives
-    the validation loss (every reference config monitors val_loss);
-    Trainer warns at construction on any other value rather than
-    silently ranking the wrong metric."""
+    monitor ranks top-k by any metric logged at validation time:
+    'val_loss', or an eval-hook metric ('val_f1_flat', 'val_f1_midi_class',
+    'val_f1_full') with mode='max' — on epochs where the monitored metric
+    was not produced (eval cadence), top-k selection is skipped with a
+    warning and only 'last' is written."""
     monitor: str = 'val_loss'
     mode: str = 'min'
     save_last: bool = True
@@ -255,11 +256,6 @@ class Trainer:
         self.out_dir = out_dir
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.policy = checkpoint_policy
-        if self.policy.monitor != 'val_loss':
-            print(f'WARNING: modelcheckpoint.monitor='
-                  f'{self.policy.monitor!r} is not supported — top-k '
-                  f'checkpoints rank by val_loss (mode='
-                  f'{self.policy.mode!r} still applies)')
         self.log_every_n_steps = log_every_n_steps
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.eval_hook = eval_hook
@@ -358,8 +354,11 @@ class Trainer:
                           params=restored['params'],
                           opt_state=restored['opt_state'])
 
-    def _maybe_save_topk(self, state: TrainState, epoch: int,
-                         val_loss: float):
+    def _maybe_save_topk(self, state: TrainState, epoch: int, metrics):
+        """metrics: the epoch's logged values ({'val_loss': ..,
+        'val_f1_flat': ..}) — top-k ranks by policy.monitor among them,
+        like Lightning's ModelCheckpoint over logged metrics. A bare
+        float is accepted as val_loss."""
         if self.policy.save_last:
             self.save_checkpoint(state, 'last')
         # Lightning gates on completed-epoch count: save when
@@ -369,13 +368,25 @@ class Trainer:
             return
         if self.policy.save_top_k == 0:
             return
-        name = f'epoch={epoch}-val_loss={val_loss:.4f}'
-        self._ckpt_scores.append((val_loss, name))
+        if not isinstance(metrics, dict):
+            metrics = {'val_loss': float(metrics)}
+        monitor = self.policy.monitor
+        if monitor not in metrics:
+            # e.g. monitoring an eval-hook F1 on an epoch where the hook
+            # did not run (eval_per_epoch cadence) — skip the ranking,
+            # keep 'last'
+            print(f'WARNING: modelcheckpoint.monitor={monitor!r} not '
+                  f'among this epoch\'s metrics {sorted(metrics)} — '
+                  'skipping top-k selection')
+            return
+        value = float(metrics[monitor])
+        name = f'epoch={epoch}-{monitor}={value:.4f}'
+        self._ckpt_scores.append((value, name))
         reverse = self.policy.mode == 'max'
         self._ckpt_scores.sort(key=lambda x: x[0], reverse=reverse)
         keep = (self._ckpt_scores if self.policy.save_top_k < 0
                 else self._ckpt_scores[:self.policy.save_top_k])
-        if (val_loss, name) in keep:
+        if (value, name) in keep:
             self.save_checkpoint(state, name)
             self._topk_created.add(name)
         # prune dropped checkpoints — but ONLY ones this run created as
@@ -421,25 +432,34 @@ class Trainer:
             epoch_time = time.time() - t0
 
             val_loss = None
-            if val_loader is not None and \
-                    (epoch + 1) % self.check_val_every_n_epoch == 0:
+            run_val = (val_loader is not None and
+                       (epoch + 1) % self.check_val_every_n_epoch == 0)
+            if run_val:
                 val_loss = self.validate(state, val_loader)
                 self.writer.log(int(state.step),
                                 {'val_loss': val_loss,
                                  'epoch': epoch,
                                  'epoch_time_s': epoch_time})
-                self._maybe_save_topk(state, epoch, val_loss)
-            elif self.policy.save_last:
-                self.save_checkpoint(state, 'last')
 
+            # the eval hook runs BEFORE checkpoint ranking so a policy
+            # monitoring an eval metric (val_f1_flat, ...) sees it —
+            # same ordering as Lightning, where the reference logs F1 in
+            # on_validation_epoch_end and ModelCheckpoint reads the
+            # logged metrics (tasks/mt3_base.py:27-46)
+            eval_scores = {}
             if (self.eval_hook is not None and
                     epoch >= self.eval_after_num_epoch and
                     epoch % max(1, self.eval_per_epoch) == 0):
                 scores = self.eval_hook(state.params, epoch)
                 if scores:
-                    self.writer.log(int(state.step),
-                                    {f'val_{k}': v
-                                     for k, v in scores.items()})
+                    eval_scores = {f'val_{k}': v for k, v in scores.items()}
+                    self.writer.log(int(state.step), eval_scores)
+
+            if run_val:
+                self._maybe_save_topk(
+                    state, epoch, {'val_loss': val_loss, **eval_scores})
+            elif self.policy.save_last:
+                self.save_checkpoint(state, 'last')
         return state
 
     def validate(self, state: TrainState, val_loader) -> float:

@@ -252,13 +252,60 @@ class TestCheckpointPruneSafety:
             os.makedirs(os.path.join(trainer._ckpt_dir, foreign))
         # two validations: the worse new checkpoint is pruned, foreign
         # dirs survive
-        trainer._maybe_save_topk(state, epoch=0, val_loss=0.5)
-        trainer._maybe_save_topk(state, epoch=1, val_loss=0.4)
+        trainer._maybe_save_topk(state, epoch=0, metrics=0.5)
+        trainer._maybe_save_topk(state, epoch=1, metrics=0.4)
         ckpts = set(os.listdir(trainer._ckpt_dir))
         assert 'epoch=9-val_loss=0.1000' in ckpts
         assert 'final' in ckpts
         assert 'epoch=1-val_loss=0.4000' in ckpts
         assert 'epoch=0-val_loss=0.5000' not in ckpts  # own worse ckpt
+
+
+class TestMonitorMetric:
+    def test_topk_ranks_by_eval_hook_f1(self, tmp_path):
+        """monitor='val_f1_flat' + mode='max' keeps the best-F1
+        checkpoints — like Lightning's ModelCheckpoint ranking over
+        logged metrics (the reference logs F1 in
+        on_validation_epoch_end); previously another monitor silently
+        ranked by val_loss."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-5, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        rng = np.random.default_rng(7)
+        batches = [_tiny_batch(rng, rows=2)]
+        f1_by_epoch = {0: 0.2, 1: 0.9, 2: 0.5}
+        trainer = Trainer(
+            model, optimizer, out_dir=str(tmp_path / 'run'),
+            mesh=make_mesh(data=1, model=1),
+            checkpoint_policy=CheckpointPolicy(
+                monitor='val_f1_flat', mode='max', save_top_k=1),
+            eval_hook=lambda params, epoch: {
+                'f1_flat': f1_by_epoch[epoch]})
+        trainer.fit(state, batches, val_loader=batches, num_epochs=3)
+        ckpts = {c for c in os.listdir(trainer._ckpt_dir) if c != 'last'}
+        assert ckpts == {'epoch=1-val_f1_flat=0.9000'}
+
+    def test_missing_monitor_skips_ranking(self, tmp_path, capsys):
+        """Monitoring an eval metric on an epoch where the hook did not
+        run skips top-k (with a warning) instead of ranking the wrong
+        value; 'last' is still written."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-5, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        trainer = Trainer(
+            model, optimizer, out_dir=str(tmp_path / 'run'),
+            mesh=make_mesh(data=1, model=1),
+            checkpoint_policy=CheckpointPolicy(
+                monitor='val_f1_flat', mode='max', save_top_k=1))
+        trainer._maybe_save_topk(state, epoch=0, metrics={'val_loss': 1.0})
+        assert 'skipping top-k' in capsys.readouterr().out
+        assert set(os.listdir(trainer._ckpt_dir)) == {'last'}
 
 
 class TestMultihostGates:
