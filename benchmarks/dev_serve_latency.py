@@ -5,8 +5,13 @@ Starts serve.py's handler+MicroBatcher in-process with random weights
 concurrent clients POST 2 s WAV clips through the HTTP surface and
 reports p50/p95 end-to-end latency.
 
-Usage: python benchmarks/dev_serve_latency.py [quantize] [n_clients]
-       (quantize: fused | none; default fused)
+Usage: python benchmarks/dev_serve_latency.py [quantize] [n_clients] [reqs]
+       (quantize: fused_int4 | fused | none; default fused)
+
+A large `reqs` per client doubles as a SOAK test: host RSS is sampled
+every ~25 completed requests, so unbounded growth (a per-request leak in
+the HTTP layer, batcher, decode path, or host postprocess) shows up as a
+monotonic RSS ramp rather than going unnoticed until production.
 """
 
 import io
@@ -32,10 +37,18 @@ def wav_bytes(seconds=2.0, sr=16000, seed=0):
     return hdr + data
 
 
+def _rss_mb() -> float:
+    with open('/proc/self/status') as f:
+        for line in f:
+            if line.startswith('VmRSS:'):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
 def main():
     quantize = sys.argv[1] if len(sys.argv) > 1 else 'fused'
     n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    reqs_per_client = 3
+    reqs_per_client = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     from mr_mt3_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -71,6 +84,8 @@ def main():
     lat = []
     lock = threading.Lock()
 
+    rss_samples = [(0, _rss_mb())]
+
     def client(cid):
         for r in range(reqs_per_client):
             t0 = time.time()
@@ -80,6 +95,8 @@ def main():
             resp.read()
             with lock:
                 lat.append(time.time() - t0)
+                if len(lat) % 25 == 0:
+                    rss_samples.append((len(lat), _rss_mb()))
 
     threads = [threading.Thread(target=client, args=(c,))
                for c in range(n_clients)]
@@ -95,6 +112,11 @@ def main():
           f'{wall:.2f}s  p50 {lat[n // 2]:.2f}s  '
           f'p95 {lat[min(n - 1, int(n * 0.95))]:.2f}s  '
           f'(device batches this run: {batches_so_far() - batches0})',
+          flush=True)
+    rss_samples.append((n, _rss_mb()))
+    trace = '  '.join(f'{k}:{mb:.0f}MB' for k, mb in rss_samples)
+    print(f'rss over requests: {trace}  '
+          f'(delta {rss_samples[-1][1] - rss_samples[0][1]:+.0f} MB)',
           flush=True)
 
 

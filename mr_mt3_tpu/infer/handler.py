@@ -159,6 +159,9 @@ class InferenceHandler:
         self._decode_fn = None
         self._segmem_fn = None
         self._segmem_fn_local = None
+        # the jitted frontend depends only on spectrogram_config (fixed
+        # per handler), so it survives _invalidate_compiled
+        self._mel_fn = None
 
     def _invalidate_compiled(self):
         """Drop every cached compiled decode program. MUST be called
@@ -199,16 +202,34 @@ class InferenceHandler:
             valid.append(n)
         return segments, seg_times, valid
 
-    def _compute_mel(self, segments: np.ndarray,
-                     valid: List[int]) -> np.ndarray:
-        mel = compute_logmel(jnp.asarray(segments), self.spectrogram_config)
-        if self.mel_norm:
-            mel = normalize_logmel(mel)
-        mel = np.array(mel)  # writable host copy
-        # zero padded tail frames (reference: inference.py:125-127)
-        for i, n in enumerate(valid):
-            mel[i, n:] = 0.0
-        return mel
+    def _compute_mel(self, segments: np.ndarray, valid: List[int]):
+        """Segments -> log-mel, returned as a DEVICE array.
+
+        Mel stays device-resident from here through decode: the decode
+        paths slice/pad it with jnp ops, so the only host->device upload
+        per request is the raw segment audio (~16x smaller than mel).
+        The whole frontend is one jitted program — eager calls would
+        re-upload the 2 MB mel filterbank constant every time, where the
+        jit bakes it into the compiled program once. Besides the
+        transfer saving, the tunneled dev TPU platform leaks the host
+        staging copy of EVERY upload (measured ~bytes-uploaded per call
+        — PERF.md 'platform quirks'), so the eager constant re-uploads
+        and a mel host round trip would also leak ~4 MB per serving
+        request. mel_norm is a traced flag so both settings share one
+        program (tests toggle it on a live handler)."""
+        if self._mel_fn is None:
+            sc = self.spectrogram_config
+
+            def mel_fn(segments, n_valid, norm):
+                mel = compute_logmel(segments, sc)
+                mel = jnp.where(norm, normalize_logmel(mel), mel)
+                # zero padded tail frames (reference: inference.py:125-127)
+                frames = jnp.arange(mel.shape[1])[None, :, None]
+                return jnp.where(frames < n_valid[:, None, None], mel, 0.0)
+            self._mel_fn = jax.jit(mel_fn)
+        return self._mel_fn(jnp.asarray(segments),
+                            jnp.asarray(np.asarray(valid, np.int32)),
+                            bool(self.mel_norm))
 
     # ---- device-side decode ----
 
@@ -329,6 +350,7 @@ class InferenceHandler:
     def _decode_all(self, mel: np.ndarray) -> np.ndarray:
         """mel (N, 256, 512) -> model-space tokens (N, max_length + 1)."""
         n = mel.shape[0]
+        mel = jnp.asarray(mel)  # no-op for the device-resident mel path
         if self.contiguous_inference:
             bucket = max(self.segment_bucket, 1)
             padded = _round_up(n, bucket)
@@ -336,10 +358,9 @@ class InferenceHandler:
             # sequential); decode it unsharded instead of padding the song
             # axis with n_data-1 silent songs (which would transfer and
             # decode pure zeros). transcribe_many is where chips win.
-            mel_p = np.zeros((1, padded) + mel.shape[1:], mel.dtype)
-            mel_p[0, :n] = mel
+            mel_p = jnp.pad(mel, ((0, padded - n), (0, 0), (0, 0)))[None]
             fn = self._get_segmem_fn(local=True)
-            tokens = np.asarray(fn(self.variables, jnp.asarray(mel_p),
+            tokens = np.asarray(fn(self.variables, mel_p,
                                    self._mask(1, 1)))[0]
             return tokens[:n]
         if self.cfg.segmem_variant == 'encoder_append':
@@ -362,11 +383,9 @@ class InferenceHandler:
             chunk = mel[start:start + b]
             real = chunk.shape[0]
             if real < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - real,) + chunk.shape[1:],
-                                     chunk.dtype)])
+                chunk = jnp.pad(chunk, ((0, b - real), (0, 0), (0, 0)))
             fn = self._get_decode_fn()
-            tokens = np.asarray(fn(self.variables, jnp.asarray(chunk),
+            tokens = np.asarray(fn(self.variables, chunk,
                                    self._mask(real, b)))
             outs.append(tokens)
         return np.concatenate(outs)[:n]
@@ -388,10 +407,10 @@ class InferenceHandler:
         chains = []   # per song: (n_segments, first_chain_idx, num_chains)
         all_chunks = []
         for mel in mels:
+            mel = jnp.asarray(mel)
             n = mel.shape[0]
             num_chunks = math.ceil(n / b)
-            mel_p = np.zeros((num_chunks * b,) + mel.shape[1:], mel.dtype)
-            mel_p[:n] = mel
+            mel_p = jnp.pad(mel, ((0, num_chunks * b - n), (0, 0), (0, 0)))
             chains.append((n, len(all_chunks), num_chunks))
             all_chunks.extend(mel_p.reshape((num_chunks, b) + mel.shape[1:]))
         # pow2 shape bucketing (see _pow2_bucket); with a mesh the chain
@@ -405,10 +424,11 @@ class InferenceHandler:
         capped = self.quantize.startswith('fused')
         sizes = self._call_sizes(n_real, floor=4, capped=capped)
         padded_chains = sum(sizes)
-        stacked = np.zeros((padded_chains, b) + mels[0].shape[1:],
-                           mels[0].dtype)
-        for i, chunk in enumerate(all_chunks):
-            stacked[i] = chunk
+        stacked = jnp.stack(all_chunks)
+        if padded_chains > n_real:
+            stacked = jnp.pad(
+                stacked,
+                ((0, padded_chains - n_real), (0, 0), (0, 0), (0, 0)))
         fn = self._get_segmem_fn()
         tokens = self._call_in_sizes(fn, stacked, sizes, n_real)
         out = []
@@ -475,10 +495,10 @@ class InferenceHandler:
         if self.contiguous_inference:
             bucket = max(self.segment_bucket, 1)
             max_s = _round_up(max(m.shape[0] for m in mels), bucket)
-            stacked = np.zeros((len(mels), max_s) + mels[0].shape[1:],
-                               mels[0].dtype)
-            for i, m in enumerate(mels):
-                stacked[i, :m.shape[0]] = m
+            stacked = jnp.stack([
+                jnp.pad(jnp.asarray(m),
+                        ((0, max_s - m.shape[0]), (0, 0), (0, 0)))
+                for m in mels])
             # pow2 song bucketing (one compiled shape per bucket; padded
             # songs are masked and cost zero decode steps) + the mesh's
             # data-axis tiling; fused mode splits past the per-call cap
@@ -490,9 +510,9 @@ class InferenceHandler:
             target_songs = sum(sizes)
             if target_songs != stacked.shape[0]:
                 pad_songs = target_songs - stacked.shape[0]
-                stacked = np.concatenate(
-                    [stacked, np.zeros((pad_songs,) + stacked.shape[1:],
-                                       stacked.dtype)])
+                stacked = jnp.pad(
+                    stacked,
+                    ((0, pad_songs), (0, 0), (0, 0), (0, 0)))
             fn = self._get_segmem_fn()
             tokens = self._call_in_sizes(fn, stacked, sizes, n_songs)
             per_song = [tokens[i, :m.shape[0]]
@@ -501,7 +521,8 @@ class InferenceHandler:
             # per-song memory chains, batched across songs in lockstep
             per_song = self._decode_segmem_chained(mels)
         else:
-            all_mel = np.concatenate(mels, axis=0)
+            all_mel = jnp.concatenate([jnp.asarray(m) for m in mels],
+                                      axis=0)
             all_tokens = self._decode_all(all_mel)
             per_song, start = [], 0
             for m in mels:
