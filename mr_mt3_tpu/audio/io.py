@@ -61,6 +61,11 @@ def read_wav_bytes(data: bytes, name: str = '<bytes>'
             # 24-bit files carry no SubFormat and are integer PCM
 
     if audio_format == 3:  # IEEE float
+        if bits not in (32, 64):
+            # a float header with PCM-ish bit depths would silently
+            # reinterpret the payload as float64 garbage — reject like
+            # the unsupported-PCM-depth case below
+            raise ValueError(f'unsupported float bit depth: {bits}')
         dtype = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
     elif audio_format == 1 or audio_format == 0xFFFE:

@@ -450,7 +450,16 @@ class Trainer:
             if (self.eval_hook is not None and
                     epoch >= self.eval_after_num_epoch and
                     epoch % max(1, self.eval_per_epoch) == 0):
-                scores = self.eval_hook(state.params, epoch)
+                # guarded: the hook now runs BEFORE checkpointing, so a
+                # hook crash (bad eval glob, decode OOM) must not cost
+                # the epoch's 'last'/top-k checkpoints — rank on
+                # val_loss alone instead
+                try:
+                    scores = self.eval_hook(state.params, epoch)
+                except Exception:
+                    import traceback
+                    traceback.print_exc()
+                    scores = None
                 if scores:
                     eval_scores = {f'val_{k}': v for k, v in scores.items()}
                     self.writer.log(int(state.step), eval_scores)

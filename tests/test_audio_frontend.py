@@ -217,6 +217,25 @@ class TestWavIO:
         assert sr == 16000
         np.testing.assert_allclose(y, x, atol=1e-7)
 
+    def test_extensible_float_with_pcm_bits_rejected(self, tmp_path):
+        """A float SubFormat with 16/24-bit samples is malformed — it
+        must 400 at the serving edge, not silently decode the PCM bytes
+        as float64 garbage."""
+        import struct
+        payload = b'\x00' * 64
+        sub_fmt_float = struct.pack('<H', 3) + b'\x00' * 14
+        fmt_body = (struct.pack('<HHIIHH', 0xFFFE, 1, 16000, 32000, 2, 16)
+                    + struct.pack('<HHI', 22, 16, 0x4) + sub_fmt_float)
+        data = (b'RIFF'
+                + struct.pack('<I', 4 + 8 + len(fmt_body) + 8 + len(payload))
+                + b'WAVE'
+                + b'fmt ' + struct.pack('<I', len(fmt_body)) + fmt_body
+                + b'data' + struct.pack('<I', len(payload)) + payload)
+        p = tmp_path / 'bad_float.wav'
+        p.write_bytes(data)
+        with pytest.raises(ValueError, match='float bit depth'):
+            read_wav(p)
+
     def test_read_wav_bytes_matches_file(self, tmp_path):
         """serve.py parses uploads from memory — byte and file paths must
         agree (no temp-file round trip needed)."""

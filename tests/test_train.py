@@ -288,6 +288,30 @@ class TestMonitorMetric:
         ckpts = {c for c in os.listdir(trainer._ckpt_dir) if c != 'last'}
         assert ckpts == {'epoch=1-val_f1_flat=0.9000'}
 
+    def test_eval_hook_crash_does_not_cost_checkpoints(self, tmp_path):
+        """The hook runs before checkpoint ranking (so its metrics are
+        rankable) — a hook exception must not abort fit() before the
+        epoch's 'last'/top-k checkpoints are written."""
+        model = MT3(TINY)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        optimizer = make_optimizer(1e-5, use_schedule=False)
+        state = create_train_state(variables['params'], optimizer)
+        rng = np.random.default_rng(7)
+        batches = [_tiny_batch(rng, rows=2)]
+
+        def boom(params, epoch):
+            raise RuntimeError('eval glob empty')
+        trainer = Trainer(model, optimizer, out_dir=str(tmp_path / 'run'),
+                          mesh=make_mesh(data=1, model=1),
+                          checkpoint_policy=CheckpointPolicy(save_top_k=1),
+                          eval_hook=boom)
+        trainer.fit(state, batches, val_loader=batches, num_epochs=1)
+        ckpts = set(os.listdir(trainer._ckpt_dir))
+        assert 'last' in ckpts
+        assert any(c.startswith('epoch=0-val_loss=') for c in ckpts)
+
     def test_missing_monitor_skips_ranking(self, tmp_path, capsys):
         """Monitoring an eval metric on an epoch where the hook did not
         run skips top-k (with a warning) instead of ranking the wrong
