@@ -42,11 +42,23 @@ python train.py \
     num_epochs=800
 
 #  ======= continual finetune from the official MT3 checkpoint ======= #
+#  (same overrides as the reference's launch: train.sh:64-84 — the base
+#  config deliberately mirrors the reference's, so the experiment values
+#  ride the CLI exactly like upstream)
 python train.py \
     --config-name="config_slakh_segmem_finetune" \
     model="MT3NetSegMemV2WithPrevFineTune" \
     dataset="SlakhPrevAugment" \
+    dataset_use_tf_spectral_ops=True \
+    dataset_is_randomize_tokens=True \
     split_frame_length=2000 \
     model_segmem_length=64 \
-    dataset_prev_augment_frames=8 \
-    path="pretrained/mt3.pth"
+    dataset_prev_augment_frames=3 \
+    trainer.check_val_every_n_epoch=20 \
+    optim.lr=1e-5 \
+    num_epochs=100 \
+    path="pretrained/mt3.pth" \
+    eval.eval_after_num_epoch=400 \
+    eval.eval_first_n_examples=3 \
+    eval.eval_per_epoch=10 \
+    eval.contiguous_inference=True
