@@ -294,6 +294,99 @@ class TestEndToEndRoundTrip:
         assert long_note.end_time == pytest.approx(1.5, abs=0.005)
 
 
+class TestRandomSongRoundTrip:
+    """Property fuzz over the full tokenize -> segment-slice -> RLE ->
+    decode -> combine pipeline: random polyphonic multi-program songs cut
+    at random segment boundaries must decode back to the source notes at
+    codec resolution (drums onset-only; overlaps trimmed like the
+    training pipeline does). This pins the parity-critical core against
+    structures the hand-written cases don't enumerate — dense chords,
+    notes spanning several segments, many programs, boundary-adjacent
+    onsets/offsets."""
+
+    @pytest.mark.parametrize('seed', range(25))
+    def test_random_song_roundtrip(self, codec, seed):
+        rng = np.random.default_rng(seed)
+        n_frames = 1000  # 8.0 s of 125 fps frames
+        frame_times = np.arange(n_frames) * 0.008
+        seen = set()
+        notes = []
+        for _ in range(int(rng.integers(1, 50))):
+            start = round(float(rng.uniform(0.0, 6.0)), 2)
+            pitch = int(rng.integers(21, 109))
+            is_drum = bool(rng.random() < 0.15)
+            # drums are program-less in the codec (drum events carry only
+            # pitch; decode assigns program 0)
+            program = 0 if is_drum else int(rng.choice([0, 5, 33, 48, 80]))
+            if (pitch, program, is_drum, start) in seen:
+                continue  # identical onsets are ill-defined under trim
+            seen.add((pitch, program, is_drum, start))
+            dur = round(float(rng.uniform(0.02, 1.5)), 2)
+            notes.append((start, min(start + dur, 7.9), pitch, 100,
+                          program, is_drum))
+        src = ns_lib.trim_overlapping_notes(_make_ns(notes))
+        ns_lib.assign_instruments(src)
+
+        times, values = (
+            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
+        events, starts, ends, state_events, state_idx = (
+            rle.encode_and_index_events(
+                state=ns_lib.NoteEncodingState(),
+                event_times=times, event_values=values,
+                encode_event_fn=ns_lib.note_event_data_to_events,
+                codec=codec, frame_times=frame_times,
+                encoding_state_to_events_fn=(
+                    ns_lib.note_encoding_state_to_events)))
+
+        def segment_tokens(f0, f1):
+            tok = events[starts[f0]:ends[f1 - 1]]
+            s0 = state_idx[f0]
+            s1 = s0 + 1
+            while state_events[s1 - 1] != 1131:
+                s1 += 1
+            seg = np.concatenate([state_events[s0:s1], tok])
+            return rle.run_length_encode_shifts(seg, codec)
+
+        cuts = sorted({0, n_frames} | {
+            int(rng.integers(1, n_frames))
+            for _ in range(int(rng.integers(0, 4)))})
+        preds = [
+            {'est_tokens': segment_tokens(a, b),
+             'start_time': float(frame_times[a]), 'raw_inputs': []}
+            for a, b in zip(cuts[:-1], cuts[1:])]
+        result = event_predictions_to_ns(
+            preds, codec, ns_lib.NoteEncodingWithTiesSpec)
+        assert result['est_invalid_events'] == 0
+        decoded = result['est_ns']
+
+        def base(n):
+            return (n.is_drum, n.program, n.pitch)
+
+        assert sorted(map(base, decoded.notes)) == \
+            sorted(map(base, src.notes))
+        # pair per channel by onset order; times agree within one codec
+        # step — a segment boundary falling between the 125 fps frame
+        # grid and the 100 step/s codec grid shifts a boundary-adjacent
+        # onset by <= 0.01 s (the reference's combiner snaps segment
+        # start_time down to the codec grid the same way)
+        import collections
+        dec_by = collections.defaultdict(list)
+        src_by = collections.defaultdict(list)
+        for n in decoded.notes:
+            dec_by[base(n)].append(n)
+        for n in src.notes:
+            src_by[base(n)].append(n)
+        for k, ss in src_by.items():
+            ds = sorted(dec_by[k], key=lambda n: n.start_time)
+            ss = sorted(ss, key=lambda n: n.start_time)
+            for d, s in zip(ds, ss):
+                assert d.start_time == pytest.approx(
+                    s.start_time, abs=0.011), k
+                if not d.is_drum:
+                    assert d.end_time == pytest.approx(
+                        s.end_time, abs=0.021), k
+
+
 class TestDecoderFuzz:
     """The combiner must survive arbitrary token garbage, counting invalid
     events instead of crashing (reference: run_length_encoding.py:216-248)."""
