@@ -324,6 +324,13 @@ class TestRandomSongRoundTrip:
             dur = round(float(rng.uniform(0.02, 1.5)), 2)
             notes.append((start, min(start + dur, 7.9), pitch, 100,
                           program, is_drum))
+        # anchor note so the song's last event lies beyond every cut:
+        # frames past the LAST event point at a stale state dump (taken
+        # before that event — reference-identical indexing,
+        # run_length_encoding.py:148-175), so a cut in the event-free
+        # tail would re-declare a just-ended note in its tie section;
+        # that quirk is pinned separately below
+        notes.append((7.3, 7.9, 108, 100, 0, False))
         src = ns_lib.trim_overlapping_notes(_make_ns(notes))
         ns_lib.assign_instruments(src)
 
@@ -347,8 +354,16 @@ class TestRandomSongRoundTrip:
             seg = np.concatenate([state_events[s0:s1], tok])
             return rle.run_length_encode_shifts(seg, codec)
 
+        # cuts align to the common grid of the 8 ms frame and 10 ms codec
+        # step (lcm = 40 ms = 5 frames): an onset falling in the sliver
+        # between a segment's snapped codec step and its frame boundary
+        # is clipped by the combiner's max_decode_time — the reference
+        # behaves identically (metrics_utils.py:102-104 clips at the
+        # next segment's start), so misaligned cuts can deliberately
+        # lose a boundary-sliver note in BOTH implementations; aligned
+        # cuts keep the round-trip property exact
         cuts = sorted({0, n_frames} | {
-            int(rng.integers(1, n_frames))
+            5 * int(rng.integers(1, 180))  # cuts within the evented span
             for _ in range(int(rng.integers(0, 4)))})
         preds = [
             {'est_tokens': segment_tokens(a, b),
@@ -385,6 +400,52 @@ class TestRandomSongRoundTrip:
                 if not d.is_drum:
                     assert d.end_time == pytest.approx(
                         s.end_time, abs=0.021), k
+
+
+    def test_stale_tail_tie_section_quirk(self, codec):
+        """Reference-identical quirk, pinned: frames past the song's LAST
+        event keep pointing at the state dump taken BEFORE that event
+        (the encoder only advances its state index between events —
+        run_length_encoding.py:148-175), so a segment starting in the
+        event-free tail re-declares the just-ended note in its tie
+        section; the tolerant decoder counts one invalid event and drops
+        the declaration, and the note itself still decodes correctly
+        from its own segment."""
+        src = _make_ns([(1.0, 2.0, 60, 100, 5, False)])
+        frame_times = np.arange(500) * 0.008  # 4.0 s, events end at 2.0
+        times, values = (
+            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
+        events, starts, ends, state_events, state_idx = (
+            rle.encode_and_index_events(
+                state=ns_lib.NoteEncodingState(),
+                event_times=times, event_values=values,
+                encode_event_fn=ns_lib.note_event_data_to_events,
+                codec=codec, frame_times=frame_times,
+                encoding_state_to_events_fn=(
+                    ns_lib.note_encoding_state_to_events)))
+
+        def segment_tokens(f0, f1):
+            tok = events[starts[f0]:ends[f1 - 1]]
+            s0 = state_idx[f0]
+            s1 = s0 + 1
+            while state_events[s1 - 1] != 1131:
+                s1 += 1
+            seg = np.concatenate([state_events[s0:s1], tok])
+            return rle.run_length_encode_shifts(seg, codec)
+
+        # cut at 3.0 s — well past the last event (the 2.0 s offset)
+        preds = [
+            {'est_tokens': segment_tokens(0, 375), 'start_time': 0.0,
+             'raw_inputs': []},
+            {'est_tokens': segment_tokens(375, 500), 'start_time': 3.0,
+             'raw_inputs': []},
+        ]
+        result = event_predictions_to_ns(
+            preds, codec, ns_lib.NoteEncodingWithTiesSpec)
+        assert result['est_invalid_events'] == 1  # the stale declaration
+        decoded = result['est_ns']
+        assert len(decoded.notes) == 1
+        assert decoded.notes[0].end_time == pytest.approx(2.0, abs=0.005)
 
 
 class TestDecoderFuzz:
