@@ -361,15 +361,23 @@ class TestReferenceLaunchCommands:
         for sh in ('/root/reference/train.sh', '/root/reference/test.sh'):
             text = open(sh).read().replace('\\\n', ' ')
             for line in text.splitlines():
+                if line.lstrip().startswith('#'):
+                    continue  # a retired (commented-out) catalog entry
                 if 'python3' in line and ('train.py' in line
                                           or 'test.py' in line):
                     cmds.append(line)
         assert len(cmds) >= 10  # the catalogs are non-trivial
         for cmd in cmds:
             # hydra-style \= escapes inside ckpt names confuse shlex;
-            # protect them, then restore
+            # protect them, then restore. comments=True: the
+            # continuation join can fold a trailing commented-out
+            # override into the command — the shell would not pass it,
+            # so neither must this parse
             cmd = cmd.replace('\\=', '\x00').rstrip().rstrip('\\')
-            toks = [t.replace('\x00', '=') for t in shlex.split(cmd)]
+            toks = [t.replace('\x00', '=')
+                    for t in shlex.split(cmd, comments=True)]
+            if not toks:
+                continue
             config_name, overrides = 'config', []
             i = 0
             while i < len(toks):

@@ -24,6 +24,33 @@ def _make_ns(note_specs):
     return ns
 
 
+
+def _encode_song(src, codec, frame_times):
+    """Full-song RLE encoding with tie-state indexing (the dataset's
+    tokenize step)."""
+    times, values = (
+        ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
+    return rle.encode_and_index_events(
+        state=ns_lib.NoteEncodingState(),
+        event_times=times, event_values=values,
+        encode_event_fn=ns_lib.note_event_data_to_events,
+        codec=codec, frame_times=frame_times,
+        encoding_state_to_events_fn=ns_lib.note_encoding_state_to_events)
+
+
+def _segment_tokens(encoded, codec, f0, f1):
+    """Token span for frames [f0, f1) with its tie-state prefix, the way
+    the dataset slicer does (reference: dataset_2_random.py:174-196)."""
+    events, starts, ends, state_events, state_idx = encoded
+    tok = events[starts[f0]:ends[f1 - 1]]
+    s0 = state_idx[f0]
+    s1 = s0 + 1
+    while state_events[s1 - 1] != 1131:
+        s1 += 1
+    seg = np.concatenate([state_events[s0:s1], tok])
+    return rle.run_length_encode_shifts(seg, codec)
+
+
 class TestHelpers:
     def test_trim_overlapping_notes(self):
         ns = _make_ns([
@@ -215,19 +242,10 @@ class TestEndToEndRoundTrip:
         ns_lib.assign_instruments(src)
         frame_times = np.arange(100) * 0.008  # 0.8 s of 125 fps frames
 
-        times, values = (
-            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
-        events, starts, ends, state_events, state_idx = (
-            rle.encode_and_index_events(
-                state=ns_lib.NoteEncodingState(),
-                event_times=times, event_values=values,
-                encode_event_fn=ns_lib.note_event_data_to_events,
-                codec=codec, frame_times=frame_times,
-                encoding_state_to_events_fn=(
-                    ns_lib.note_encoding_state_to_events)))
+        encoded = _encode_song(src, codec, frame_times)
         # a whole-song segment starts with an empty tie section (just 'tie')
         tokens = rle.run_length_encode_shifts(
-            np.concatenate([[1131], events]), codec)
+            np.concatenate([[1131], encoded[0]]), codec)
 
         pred = [{'est_tokens': tokens, 'start_time': 0.0, 'raw_inputs': []}]
         result = event_predictions_to_ns(
@@ -257,31 +275,14 @@ class TestEndToEndRoundTrip:
             (1.20, 1.80, 64, 100, 5, False),
         ])
         frame_times = np.arange(250) * 0.008  # 2.0 s
-        times, values = (
-            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
-        events, starts, ends, state_events, state_idx = (
-            rle.encode_and_index_events(
-                state=ns_lib.NoteEncodingState(),
-                event_times=times, event_values=values,
-                encode_event_fn=ns_lib.note_event_data_to_events,
-                codec=codec, frame_times=frame_times,
-                encoding_state_to_events_fn=(
-                    ns_lib.note_encoding_state_to_events)))
+        encoded = _encode_song(src, codec, frame_times)
 
         # split at frame 125 (t=1.0) the way the dataset slicer does
-        def segment_tokens(f0, f1):
-            tok = events[starts[f0]:ends[f1 - 1]]
-            s0 = state_idx[f0]
-            s1 = s0 + 1
-            while state_events[s1 - 1] != 1131:
-                s1 += 1
-            seg = np.concatenate([state_events[s0:s1], tok])
-            return rle.run_length_encode_shifts(seg, codec)
 
         preds = [
-            {'est_tokens': segment_tokens(0, 125), 'start_time': 0.0,
+            {'est_tokens': _segment_tokens(encoded, codec, 0, 125), 'start_time': 0.0,
              'raw_inputs': []},
-            {'est_tokens': segment_tokens(125, 250), 'start_time': 1.0,
+            {'est_tokens': _segment_tokens(encoded, codec, 125, 250), 'start_time': 1.0,
              'raw_inputs': []},
         ]
         result = event_predictions_to_ns(
@@ -334,25 +335,8 @@ class TestRandomSongRoundTrip:
         src = ns_lib.trim_overlapping_notes(_make_ns(notes))
         ns_lib.assign_instruments(src)
 
-        times, values = (
-            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
-        events, starts, ends, state_events, state_idx = (
-            rle.encode_and_index_events(
-                state=ns_lib.NoteEncodingState(),
-                event_times=times, event_values=values,
-                encode_event_fn=ns_lib.note_event_data_to_events,
-                codec=codec, frame_times=frame_times,
-                encoding_state_to_events_fn=(
-                    ns_lib.note_encoding_state_to_events)))
+        encoded = _encode_song(src, codec, frame_times)
 
-        def segment_tokens(f0, f1):
-            tok = events[starts[f0]:ends[f1 - 1]]
-            s0 = state_idx[f0]
-            s1 = s0 + 1
-            while state_events[s1 - 1] != 1131:
-                s1 += 1
-            seg = np.concatenate([state_events[s0:s1], tok])
-            return rle.run_length_encode_shifts(seg, codec)
 
         # cuts align to the common grid of the 8 ms frame and 10 ms codec
         # step (lcm = 40 ms = 5 frames): an onset falling in the sliver
@@ -366,7 +350,7 @@ class TestRandomSongRoundTrip:
             5 * int(rng.integers(1, 180))  # cuts within the evented span
             for _ in range(int(rng.integers(0, 4)))})
         preds = [
-            {'est_tokens': segment_tokens(a, b),
+            {'est_tokens': _segment_tokens(encoded, codec, a, b),
              'start_time': float(frame_times[a]), 'raw_inputs': []}
             for a, b in zip(cuts[:-1], cuts[1:])]
         result = event_predictions_to_ns(
@@ -413,31 +397,14 @@ class TestRandomSongRoundTrip:
         from its own segment."""
         src = _make_ns([(1.0, 2.0, 60, 100, 5, False)])
         frame_times = np.arange(500) * 0.008  # 4.0 s, events end at 2.0
-        times, values = (
-            ns_lib.note_sequence_to_onsets_and_offsets_and_programs(src))
-        events, starts, ends, state_events, state_idx = (
-            rle.encode_and_index_events(
-                state=ns_lib.NoteEncodingState(),
-                event_times=times, event_values=values,
-                encode_event_fn=ns_lib.note_event_data_to_events,
-                codec=codec, frame_times=frame_times,
-                encoding_state_to_events_fn=(
-                    ns_lib.note_encoding_state_to_events)))
+        encoded = _encode_song(src, codec, frame_times)
 
-        def segment_tokens(f0, f1):
-            tok = events[starts[f0]:ends[f1 - 1]]
-            s0 = state_idx[f0]
-            s1 = s0 + 1
-            while state_events[s1 - 1] != 1131:
-                s1 += 1
-            seg = np.concatenate([state_events[s0:s1], tok])
-            return rle.run_length_encode_shifts(seg, codec)
 
         # cut at 3.0 s — well past the last event (the 2.0 s offset)
         preds = [
-            {'est_tokens': segment_tokens(0, 375), 'start_time': 0.0,
+            {'est_tokens': _segment_tokens(encoded, codec, 0, 375), 'start_time': 0.0,
              'raw_inputs': []},
-            {'est_tokens': segment_tokens(375, 500), 'start_time': 3.0,
+            {'est_tokens': _segment_tokens(encoded, codec, 375, 500), 'start_time': 3.0,
              'raw_inputs': []},
         ]
         result = event_predictions_to_ns(
