@@ -76,25 +76,28 @@ def main():
         return rtf_of(stats, batch * 256 * 128 / 16000)
 
     # ---- headline: fused megakernel, 8 groups-of-8 in one trace ----
-    mode = "megakernel quantize='fused_int4', batch 64 (groups of 8)"
+    # Off-TPU the megakernel tiers would silently run INTERPRETED (hours,
+    # not minutes) rather than fail, so they only enter the ladder on a
+    # real TPU backend (ops/_backend.on_tpu is the one place that check
+    # lives); the bf16 XLA path is always the last rung.
+    from mr_mt3_tpu.ops._backend import on_tpu
+    ladder = ([
+        ('fused_int4', 64,
+         "megakernel quantize='fused_int4', batch 64 (groups of 8)"),
+        ('fused', 64,
+         "megakernel quantize='fused' int8, batch 64 (groups of 8)"),
+    ] if on_tpu() else []) + [('none', 128, 'bf16 XLA, batch 128')]
     fused_b8 = None
     int8_b64 = None
-    try:
-        if jax.default_backend() != 'tpu':
-            # off-TPU the kernel would silently run INTERPRETED (hours,
-            # not minutes) rather than fail — force the bf16 fallback
-            raise RuntimeError('fused megakernel requires a TPU backend')
-        headline = measure_vanilla(64, 'fused_int4', reps=8)
-    except Exception as err:  # pragma: no cover - target-specific
-        print(f'# int4 megakernel unavailable ({err!r}); trying int8')
+    for i, (quant, batch, tier_mode) in enumerate(ladder):
         try:
-            mode = "megakernel quantize='fused' int8, batch 64 (groups of 8)"
-            headline = measure_vanilla(64, 'fused', reps=8)
-        except Exception as err2:  # pragma: no cover - target-specific
-            print(f'# fused megakernel unavailable ({err2!r}); '
-                  'bf16 fallback')
-            mode = 'bf16 XLA, batch 128'
-            headline = measure_vanilla(128, 'none', reps=8)
+            headline = measure_vanilla(batch, quant, reps=8)
+            mode = tier_mode
+            break
+        except Exception as err:  # pragma: no cover - target-specific
+            if i == len(ladder) - 1:
+                raise
+            print(f'# {quant} tier unavailable ({err!r}); falling back')
     # diagnostic extras in their own trys: a failure here must not
     # discard an already-successful headline
     if mode.startswith('megakernel'):
@@ -133,18 +136,16 @@ def main():
         stats = time_stats(sfn, lambda: (svariables, mel), reps=reps)
         return rtf_of(stats, songs * segs * 256 * 128 / 16000)
 
-    try:
-        if jax.default_backend() != 'tpu':
-            raise RuntimeError('fused megakernel requires a TPU backend')
+    # Same ladder/guard structure as the headline, but every rung guarded:
+    # a segmem failure must not discard the already-measured headline.
+    segmem, segmem_mode = None, 'unavailable'
+    for quant in (['fused_int4', 'fused'] if on_tpu() else []) + ['none']:
         try:
-            segmem = measure_segmem('fused_int4')
-            segmem_mode = 'fused_int4'
-        except Exception:  # pragma: no cover - target-specific
-            segmem = measure_segmem('fused')
-            segmem_mode = 'fused'
-    except Exception:  # pragma: no cover
-        segmem = measure_segmem('none')
-        segmem_mode = 'bf16'
+            segmem = measure_segmem(quant)
+            segmem_mode = 'bf16' if quant == 'none' else quant
+            break
+        except Exception as err:  # pragma: no cover - target-specific
+            print(f'# segmem {quant} tier unavailable ({err!r})')
 
     # the probe ladder's middle tier (quantize='fused_bf16'): the
     # unquantized megakernel at the serving latency batch — recorded per

@@ -45,12 +45,14 @@ def t5x_to_flax_params(flat: Dict[str, np.ndarray],
                        num_layers: int = None) -> Dict[str, Any]:
     """Map target/* T5X keys onto the mr_mt3_tpu.models.MT3 param tree.
 
-    num_layers defaults to the count present in the checkpoint (8 for the
-    official MT3 checkpoint, which is layer-symmetric)."""
-    if num_layers is None:
-        num_layers = _count_layers(flat, 'encoder')
-        assert num_layers == _count_layers(flat, 'decoder'), \
-            'asymmetric T5X stacks; pass num_layers explicitly'
+    num_layers (a symmetric shorthand: same count for both stacks) defaults
+    to the per-stack counts present in the checkpoint (8+8 for the official
+    MT3 checkpoint); asymmetric checkpoints convert from their counted
+    depths without needing the argument."""
+    num_encoder_layers = (num_layers if num_layers is not None
+                          else _count_layers(flat, 'encoder'))
+    num_decoder_layers = (num_layers if num_layers is not None
+                          else _count_layers(flat, 'decoder'))
     params: Dict[str, Any] = {}
 
     def put(path, value):
@@ -65,7 +67,7 @@ def t5x_to_flax_params(flat: Dict[str, np.ndarray],
             put((stack, block, mine, sub_m, 'kernel'),
                 flat[f'target/{theirs}/{sub_t}/kernel'])
 
-    for i in range(num_layers):
+    for i in range(num_encoder_layers):
         blk = f'block_{i}'
         lyr = f'layers_{i}'
         attn('encoder', blk, 'self_attn', f'encoder/{lyr}/attention')
@@ -77,6 +79,9 @@ def t5x_to_flax_params(flat: Dict[str, np.ndarray],
         put(('encoder', blk, 'ff_norm', 'weight'),
             flat[f'target/encoder/{lyr}/pre_mlp_layer_norm/scale'])
 
+    for i in range(num_decoder_layers):
+        blk = f'block_{i}'
+        lyr = f'layers_{i}'
         attn('decoder', blk, 'self_attn', f'decoder/{lyr}/self_attention')
         put(('decoder', blk, 'self_norm', 'weight'),
             flat[f'target/decoder/{lyr}/pre_self_attention_layer_norm/scale'])

@@ -2,9 +2,14 @@
 
 The reference decodes by re-running the whole decoder over the growing
 sequence each step with use_cache=False (reference: models/t5.py:267-295).
-Per-step cost at prefix length n is ~a + b*n; this measures it at several n
-with stock HF T5 blocks wired the reference's way and integrates over the
-full 1024 steps, writing benchmarks/baseline_torch_cpu.json for bench.py.
+Per-step cost at prefix length n is ~a + b*n + c*n^2 (the linear terms are
+the cross-attention/FFN re-runs, the quadratic term is causal
+self-attention over the growing prefix); this measures it at several n —
+INCLUDING the full n=1024, so the integral over the 1024 steps
+interpolates the fit rather than extrapolating past the last sample — and
+writes benchmarks/baseline_torch_cpu.json for bench.py. Predicted per-step
+costs are clamped at zero so a noisy fit can only shrink the baseline
+total (i.e. only understate bench.py's vs_baseline, never inflate it).
 
 Usage: python tools/measure_torch_baseline.py
 """
@@ -44,11 +49,13 @@ def main():
                 hf.lm_head(out[:, -1:])
             return (time.time() - t0) / iters
 
-    ns = [32, 128, 384, 768]
+    ns = [32, 128, 384, 768, 1024]
     cs = [step_cost(n) for n in ns]
-    design = np.vstack([np.ones(len(ns)), ns]).T
-    (a, b), *_ = np.linalg.lstsq(design, np.array(cs), rcond=None)
-    total = float(sum(a + b * n for n in range(1, 1025)))
+    design = np.vstack([np.ones(len(ns)), ns,
+                        np.square(ns, dtype=float)]).T
+    (a, b, c), *_ = np.linalg.lstsq(design, np.array(cs), rcond=None)
+    total = float(sum(max(a + b * n + c * n * n, 0.0)
+                      for n in range(1, 1025)))
     audio_sec = batch * 256 * 128 / 16000
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
@@ -58,10 +65,11 @@ def main():
         json.dump({
             'description': ('PyTorch-CPU reference-equivalent greedy decode '
                             '(no KV cache, batch 8 segments, 1024 steps), '
-                            'per-step cost fit a+b*n integrated'),
+                            'per-step cost fit a+b*n+c*n^2 integrated'),
             'machine': f'{os.cpu_count()} visible CPU(s), single process',
-            'prefix_ms': {str(n): c * 1000 for n, c in zip(ns, cs)},
+            'prefix_ms': {str(n): cost * 1000 for n, cost in zip(ns, cs)},
             'fit_a_ms': a * 1000, 'fit_b_ms': b * 1000,
+            'fit_c_ms': c * 1000,
             'total_seconds_1024_steps': total,
             'audio_seconds': audio_sec,
             'rtf': audio_sec / total,
