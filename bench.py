@@ -42,6 +42,21 @@ import os
 import numpy as np
 
 
+def decode_ladder(on_tpu):
+    """Quantize-tier fallback ladder for the headline measurement.
+
+    Off-TPU the megakernel tiers would silently run INTERPRETED (hours,
+    not minutes) rather than fail, so they only enter the ladder on a
+    real TPU backend; the bf16 XLA path is always the last rung.
+    Returns (quantize, batch, mode_label) tuples."""
+    return ([
+        ('fused_int4', 64,
+         "megakernel quantize='fused_int4', batch 64 (groups of 8)"),
+        ('fused', 64,
+         "megakernel quantize='fused' int8, batch 64 (groups of 8)"),
+    ] if on_tpu else []) + [('none', 128, 'bf16 XLA, batch 128')]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -76,17 +91,10 @@ def main():
         return rtf_of(stats, batch * 256 * 128 / 16000)
 
     # ---- headline: fused megakernel, 8 groups-of-8 in one trace ----
-    # Off-TPU the megakernel tiers would silently run INTERPRETED (hours,
-    # not minutes) rather than fail, so they only enter the ladder on a
-    # real TPU backend (ops/_backend.on_tpu is the one place that check
-    # lives); the bf16 XLA path is always the last rung.
+    # ops/_backend.on_tpu is the one place the backend check lives; see
+    # decode_ladder for why megakernel tiers are TPU-only.
     from mr_mt3_tpu.ops._backend import on_tpu
-    ladder = ([
-        ('fused_int4', 64,
-         "megakernel quantize='fused_int4', batch 64 (groups of 8)"),
-        ('fused', 64,
-         "megakernel quantize='fused' int8, batch 64 (groups of 8)"),
-    ] if on_tpu() else []) + [('none', 128, 'bf16 XLA, batch 128')]
+    ladder = decode_ladder(on_tpu())
     fused_b8 = None
     int8_b64 = None
     for i, (quant, batch, tier_mode) in enumerate(ladder):
@@ -136,10 +144,10 @@ def main():
         stats = time_stats(sfn, lambda: (svariables, mel), reps=reps)
         return rtf_of(stats, songs * segs * 256 * 128 / 16000)
 
-    # Same ladder/guard structure as the headline, but every rung guarded:
-    # a segmem failure must not discard the already-measured headline.
+    # Same tier ladder as the headline, but every rung guarded: a segmem
+    # failure must not discard the already-measured headline.
     segmem, segmem_mode = None, 'unavailable'
-    for quant in (['fused_int4', 'fused'] if on_tpu() else []) + ['none']:
+    for quant, _, _ in decode_ladder(on_tpu()):
         try:
             segmem = measure_segmem(quant)
             segmem_mode = 'bf16' if quant == 'none' else quant

@@ -338,3 +338,61 @@ class TestAdversarial:
             return float(cross_entropy_loss(logits, labels))
         # adversarial perturbation should (almost surely) not reduce loss
         assert loss(inputs + delta) >= loss(inputs) - 1e-3
+
+
+class TestRoundArtifactHelpers:
+    """Regressions for the round-artifact logic (bench.py ladder,
+    __graft_entry__ device-count flag, baseline fit) that runs outside
+    the package."""
+
+    @staticmethod
+    def _root_import(name):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+        return __import__(name)
+
+    def test_decode_ladder_off_tpu_goes_straight_to_bf16(self):
+        # Off-TPU the megakernel tiers would run in Pallas interpret mode
+        # (hours per rep) instead of failing; they must not be in the ladder.
+        bench = self._root_import('bench')
+        assert [q for q, _, _ in bench.decode_ladder(False)] == ['none']
+        assert ([q for q, _, _ in bench.decode_ladder(True)]
+                == ['fused_int4', 'fused', 'none'])
+        # the exact bf16 XLA path is always the last rung
+        for on_tpu in (False, True):
+            quant, batch, mode = bench.decode_ladder(on_tpu)[-1]
+            assert quant == 'none' and mode.startswith('bf16')
+
+    def test_device_count_flag_is_replaced_not_just_detected(self):
+        g = self._root_import('__graft_entry__')
+        flag = '--xla_force_host_platform_device_count'
+        assert g._with_device_count('', 8) == f'{flag}=8'
+        # a stale count (inherited env or an earlier dryrun) is replaced
+        assert g._with_device_count(f'{flag}=4', 8) == f'{flag}=8'
+        assert (g._with_device_count(f'--a {flag}=16 --b', 8)
+                == f'--a {flag}=8 --b')
+        assert g._with_device_count('--a', 8) == f'--a {flag}=8'
+
+    def test_baseline_fit_recovers_quadratic_and_clamps(self):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'tools'))
+        from measure_torch_baseline import fit_and_integrate
+        ns = [32, 128, 384, 768, 1024]
+
+        # exact quadratic data -> coefficients and integral recovered
+        a0, b0, c0 = 0.1, 2e-3, 1e-6
+        cs = [a0 + b0 * n + c0 * n * n for n in ns]
+        a, b, c, total = fit_and_integrate(ns, cs)
+        expect = sum(a0 + b0 * n + c0 * n * n for n in range(1, 1025))
+        np.testing.assert_allclose([a, b, c], [a0, b0, c0], rtol=1e-6)
+        np.testing.assert_allclose(total, expect, rtol=1e-6)
+
+        # a fit with negative low-n predictions is clamped at zero, so the
+        # clamped total can only exceed the raw (negative-including) sum
+        a0 = -0.1
+        cs = [a0 + b0 * n + c0 * n * n for n in ns]
+        a, b, c, total = fit_and_integrate(ns, cs)
+        raw = sum(a0 + b0 * n + c0 * n * n for n in range(1, 1025))
+        clamped = sum(max(a0 + b0 * n + c0 * n * n, 0.0)
+                      for n in range(1, 1025))
+        assert total > raw
+        np.testing.assert_allclose(total, clamped, rtol=1e-6)

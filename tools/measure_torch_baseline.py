@@ -21,6 +21,20 @@ import time
 import numpy as np
 
 
+def fit_and_integrate(ns, cs, steps=1024):
+    """Fit per-step cost a+b*n+c*n^2 to (ns, cs) and integrate 1..steps.
+
+    Predicted per-step costs are clamped at zero so a noisy fit can only
+    SHRINK the total (i.e. only understate bench.py's vs_baseline, never
+    inflate it). Returns (a, b, c, total_seconds)."""
+    design = np.vstack([np.ones(len(ns)), ns,
+                        np.square(ns, dtype=float)]).T
+    (a, b, c), *_ = np.linalg.lstsq(design, np.array(cs), rcond=None)
+    total = float(sum(max(a + b * n + c * n * n, 0.0)
+                      for n in range(1, steps + 1)))
+    return a, b, c, total
+
+
 def main():
     import torch
     import transformers
@@ -51,11 +65,7 @@ def main():
 
     ns = [32, 128, 384, 768, 1024]
     cs = [step_cost(n) for n in ns]
-    design = np.vstack([np.ones(len(ns)), ns,
-                        np.square(ns, dtype=float)]).T
-    (a, b, c), *_ = np.linalg.lstsq(design, np.array(cs), rcond=None)
-    total = float(sum(max(a + b * n + c * n * n, 0.0)
-                      for n in range(1, 1025)))
+    a, b, c, total = fit_and_integrate(ns, cs)
     audio_sec = batch * 256 * 128 / 16000
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
