@@ -36,6 +36,22 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ('data', 'model'))
 
 
+def device_cap(devices_cfg: Any) -> Optional[int]:
+    """Normalize the config's `devices` override to a data-axis size.
+
+    Reference command lines pass Lightning forms (reference train.sh:6
+    `devices=[0,1]`, config/config.yaml:2 `devices: 1`): an int is a
+    device COUNT, a list of device indices counts its length (JAX owns
+    placement, so specific indices are not honored — only how many),
+    and null/absent/non-positive means every visible device."""
+    if devices_cfg is None:
+        return None
+    if isinstance(devices_cfg, (list, tuple)):
+        return len(devices_cfg) or None
+    n = int(devices_cfg)
+    return n if n > 0 else None
+
+
 def init_multihost() -> None:
     """jax.distributed.initialize() with a generic-cluster escape hatch.
 

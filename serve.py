@@ -73,8 +73,9 @@ def build_handler(argv):
         # guarded by prepare_handler's probe; exact bf16 elsewhere
         quantize = 'fused_int4' if on_tpu else 'none'
     # multi-chip serving: shard decode batches over every visible chip
-    # (devices: <n> limits the data axis, like train.py/test.py)
-    n_dev = int(cfg.get('devices') or len(jax.devices()))
+    # (devices: <n>|[ids] limits the data axis, like train.py/test.py)
+    from mr_mt3_tpu.parallel import device_cap
+    n_dev = device_cap(cfg.get('devices')) or len(jax.devices())
     mesh = None
     if n_dev > 1:
         from mr_mt3_tpu.parallel import make_mesh

@@ -83,7 +83,8 @@ def main(argv=None):
             print(f'eval mesh (local): {mesh.shape["data"]} devices '
                   f'on the data axis')
     else:
-        n_dev = int(cfg.get('devices') or len(jax.devices()))
+        from mr_mt3_tpu.parallel import device_cap
+        n_dev = device_cap(cfg.get('devices')) or len(jax.devices())
         if n_dev > 1:
             from mr_mt3_tpu.parallel import make_mesh
             mesh = make_mesh(data=n_dev, model=1)

@@ -99,6 +99,22 @@ class TestConfigSystem:
             assert cfg.model.config.vocab_size == 1536
             assert cfg.model.task.loss in ('ce', 'weighted')
 
+    def test_devices_override_forms(self):
+        """The reference passes Lightning device forms (train.sh:6
+        `devices=[0,1]`, config.yaml:2 `devices: 1`); both normalize to a
+        data-axis size, null/-1 to 'all visible'."""
+        from mr_mt3_tpu.parallel import device_cap, make_mesh
+        cfg = load_config(CONFIG_DIR, 'config', overrides=['devices=[0,1]'])
+        assert device_cap(cfg.get('devices')) == 2
+        cfg = load_config(CONFIG_DIR, 'config', overrides=['devices=3'])
+        assert device_cap(cfg.get('devices')) == 3
+        cfg = load_config(CONFIG_DIR, 'config')
+        assert device_cap(cfg.get('devices')) is None
+        assert device_cap(-1) is None and device_cap([]) is None
+        # and the cap actually sizes the mesh's data axis
+        mesh = make_mesh(data=device_cap([0, 1]), model=1)
+        assert dict(mesh.shape) == {'data': 2, 'model': 1}
+
     def test_builders_model_variants(self):
         from mr_mt3_tpu.utils import builders
         cfg = load_config(CONFIG_DIR, 'config_slakh_segmem',
@@ -217,8 +233,11 @@ class TestCliEndToEnd:
         with redirect_stdout(buf):
             train_cli.main(argv + [
                 f'path={out_dir}/checkpoints/last',
-                f'out_dir={tmp_path}/resumed'])
+                f'out_dir={tmp_path}/resumed',
+                'devices=[0,1]'])  # the reference's list form (train.sh:6)
         assert 'resumed full state' in buf.getvalue()
+        # devices=[0,1] capped the data axis at 2 of the 8 test devices
+        assert "train mesh: {'data': 2, 'model': 1}" in buf.getvalue()
 
         ckpt = out_dir / 'checkpoints' / 'final'
         assert ckpt.exists()

@@ -48,7 +48,7 @@ def main(argv=None):
     enable_compilation_cache()
 
     from mr_mt3_tpu.data import DataLoader
-    from mr_mt3_tpu.parallel import make_mesh, param_shardings
+    from mr_mt3_tpu.parallel import device_cap, make_mesh, param_shardings
     from mr_mt3_tpu.train.trainer import (
         CheckpointPolicy,
         Trainer,
@@ -76,7 +76,11 @@ def main(argv=None):
         num_workers=max(1, int(cfg.dataloader.val.num_workers)),
         shuffle=False, seed=seed, **shard)
 
-    mesh = make_mesh(model=int(cfg.get('model_devices') or 1))
+    # devices=<n>|[ids] caps the data axis (reference train.sh passes
+    # devices=[0,1]); null spans every visible chip
+    mesh = make_mesh(data=device_cap(cfg.get('devices')),
+                     model=int(cfg.get('model_devices') or 1))
+    print(f'train mesh: {dict(mesh.shape)}')
     out_dir = cfg.get('out_dir') or 'runs/default'
 
     eval_hook = None
