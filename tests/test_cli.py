@@ -397,6 +397,15 @@ class TestReferenceLaunchCommands:
                     for t in shlex.split(cmd, comments=True)]
             if not toks:
                 continue
+            # tokens before the script name are shell env assignments
+            # (HYDRA_FULL_ERROR=1 OMP_NUM_THREADS=1 python3 train.py ...)
+            # — the shell strips them from argv; everything AFTER the
+            # script is argv and must pass through load_config verbatim,
+            # including hydra/job_logging=disabled (the MIGRATION.md
+            # accepted-and-ignored claim)
+            script_i = next(i for i, t in enumerate(toks)
+                            if t.endswith(('train.py', 'test.py')))
+            toks = toks[script_i + 1:]
             config_name, overrides = 'config', []
             i = 0
             while i < len(toks):
@@ -409,9 +418,7 @@ class TestReferenceLaunchCommands:
                         config_name = toks[i]
                 elif t.startswith('--config-path') and '=' not in t:
                     i += 1
-                elif ('=' in t and not t.startswith('--')
-                      and 'hydra/' not in t
-                      and not t.startswith(('HYDRA_', 'OMP_'))):
+                elif '=' in t and not t.startswith('--'):
                     overrides.append(t)
                 i += 1
             cfg = load_config(CONFIG_DIR, config_name, overrides)
