@@ -65,6 +65,7 @@ def main():
             'spread': round(stats['spread'], 3),
         }
 
+    orig_chunk_base_for = fused_decode.chunk_base_for
     cases = [
         ('b8_chunk256_baseline', 8, 256, 8),
         ('b16_sequential_groups_of_8', 16, 256, 8),
@@ -80,6 +81,7 @@ def main():
                               'error': repr(e)[:300]}), flush=True)
     fused_decode.CHUNK = 256
     fused_decode.FUSED_MAX_BATCH = 8
+    fused_decode.chunk_base_for = orig_chunk_base_for
 
 
 if __name__ == '__main__':

@@ -124,9 +124,14 @@ def resolve_auto_quantize(handler, verbose: bool = True,
     PROBE_MAX_LENGTH note: quantized-KV error grows with cache
     occupancy, and full-length programs can hit compile ceilings short
     ones cannot see); a confirm flip or failure demotes the same way.
-    Returns an info dict {quantize, probe_flips, probe_tokens[,
-    confirm_flips, confirm_tokens, probe_error, demotions]};
-    probe_flips/probe_tokens are from the LAST probe run.
+    Returns an info dict {quantize, probe_flips, probe_tokens,
+    probe_tier[, confirm_flips, confirm_tokens, probe_error, demotions]};
+    probe_flips/probe_tokens are from the LAST probe that ran, and
+    probe_tier names the tier they measured (on a flip-demotion to
+    'none' that is the losing tier, not the final one). Counts are
+    cleared before each probe attempt, so a tier whose probe RAISES
+    never inherits an earlier tier's counts (serve's /healthz would
+    present them as evidence for a path they never measured).
 
     probe_fn: override for the probe (serve.py passes its own
     monkeypatchable entry point). It is called as probe_fn(handler) for
@@ -156,6 +161,12 @@ def resolve_auto_quantize(handler, verbose: bool = True,
         info['quantize'] = 'none'
         return info
     while handler.quantize != 'none':
+        # stale-evidence guard: drop the previous tier's counts before
+        # probing, so an exception path can't leave them attributed to a
+        # tier that never measured them
+        for k in ('probe_flips', 'probe_tokens', 'probe_tier',
+                  'confirm_flips', 'confirm_tokens'):
+            info.pop(k, None)
         try:
             flips, total = (probe_fn or quantize_probe)(handler)
         except Exception as e:  # the guard must never crash the caller
@@ -164,6 +175,7 @@ def resolve_auto_quantize(handler, verbose: bool = True,
             continue
         info['probe_flips'] = flips
         info['probe_tokens'] = total
+        info['probe_tier'] = handler.quantize
         if flips:
             demote(f'{flips}/{total} probe tokens flipped vs exact bf16')
             continue

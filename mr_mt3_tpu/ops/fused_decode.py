@@ -1218,6 +1218,15 @@ def fused_decode_window_grouped(cfg: MT3Config, fp: FusedParams, dp,
     if tokens.shape[0] != n_groups * 8:
         raise ValueError(f'tokens rows {tokens.shape[0]} != groups '
                          f'{n_groups} x 8')
+    if fp.wqkv.dtype != jnp.int8:
+        # the group-axis design lost to sequential groups (PERF.md
+        # negative result) and was only ever built for the int8 tier;
+        # its kernel writes an int8 KV cache unconditionally, so bf16 or
+        # int4 FusedParams would decode silently wrong rather than fail
+        raise NotImplementedError(
+            'fused_decode_window_grouped supports only int8 FusedParams '
+            f'(got {fp.wqkv.dtype}); use the sequential-groups path for '
+            "'fused_bf16'/'fused_int4'")
     max_len = cache['kq'].shape[-1]
     lenc = cross['ckq'].shape[-1]
     chunk = min(chunk_base if chunk_base else chunk_base_for(lenc),

@@ -138,8 +138,8 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         handler._invalidate_compiled()
         # the recorded probe counts belong to the tier we just left —
         # /healthz must not present them as evidence for the new one
-        for k in ('probe_flips', 'probe_tokens', 'confirm_flips',
-                  'confirm_tokens'):
+        for k in ('probe_flips', 'probe_tokens', 'probe_tier',
+                  'confirm_flips', 'confirm_tokens'):
             info.pop(k, None)
 
     info = {'quantize': handler.quantize, 'prewarmed': False}
@@ -166,7 +166,6 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
                       file=sys.stderr)
         if not prewarm:
             break
-        from mr_mt3_tpu.infer.handler import _pow2_bucket, _round_up
         from mr_mt3_tpu.infer.probe import probe_audio
         t0 = time.monotonic()
         prewarm_before = info.get('prewarm_seconds', 0.0)
@@ -181,19 +180,42 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         # a mesh several counts collapse onto one shape), or the first
         # coalesced request of a cold bucket stalls on program startup.
         audio = probe_audio(2)
-        buckets_matter = (handler.contiguous_inference
-                          or handler.cfg.segmem_variant == 'encoder_append')
+        capped = handler.quantize.startswith('fused')
+        if handler.contiguous_inference:
+            # leading device axis = lockstep SONGS, bounded by the
+            # coalesce cap (floor 1)
+            floor = 1
+            candidates = [1 << i for i in range(
+                (MicroBatcher.MAX_COALESCE - 1).bit_length() + 1)]
+        elif handler.cfg.segmem_variant == 'encoder_append':
+            # leading device axis = memory CHAINS
+            # (ceil(segments/batch_size) per song, floor 4) — a single
+            # LONG song yields more chains than the coalesce cap has
+            # songs (a 5-minute song is 5 chains), so song-count
+            # candidates alone would leave real-traffic chain buckets
+            # cold. Warm every pow2 chain bucket up to _pow2_bucket's
+            # cap (64); beyond it shapes grow in multiples of 4,
+            # unbounded by song length — those accept a cold compile.
+            # Each probe song contributes exactly one chain, so k probe
+            # songs exercise the k-chain bucket.
+            floor = 4
+            candidates = [1 << i for i in range(7)]
+        else:
+            # vanilla non-contiguous: _decode_all pads every call to the
+            # one fixed (batch_size * n_data) shape — a single warm
+            # covers all traffic
+            floor, candidates = 1, [1]
+        # dedupe by the actual device-call shapes each count produces
+        # (_call_sizes is the shape logic the request path uses — under
+        # the fused per-call cap a big count splits into already-warmed
+        # cap-size calls, and under a mesh several counts collapse onto
+        # one padded shape)
         counts, seen = [], set()
-        candidates = ([1] if not buckets_matter else
-                      [1 << i for i in range((MicroBatcher.MAX_COALESCE - 1)
-                                             .bit_length() + 1)])
-        # the padded leading dim: song axis (contiguous) has no floor;
-        # the chain axis (non-contiguous encoder_append) floors at 4
-        floor = 1 if handler.contiguous_inference else 4
         for k in candidates:
-            shape = _round_up(max(floor, _pow2_bucket(k)), handler.n_data)
-            if shape not in seen:
-                seen.add(shape)
+            shapes = handler._call_sizes(k, floor=floor, capped=capped)
+            new = [s for s in shapes if s not in seen]
+            if new:
+                seen.update(new)
                 counts.append(k)
         try:
             for k in counts:
@@ -282,10 +304,17 @@ class MicroBatcher:
                         slot['result'] = ns
                         done.set()
                 except Exception:
-                    # isolate the failing song: fall back to per-request
+                    # isolate the failing song: fall back to per-request,
+                    # still THROUGH transcribe_many — handler.transcribe
+                    # would route contiguous decode to the unsharded local
+                    # program under a mesh, a shape prepare_handler never
+                    # prewarmed, stalling every queued client on a cold
+                    # ~100-320 s compile; the 1-song transcribe_many
+                    # bucket is always warmed
                     for audio, slot, done in batch:
                         try:
-                            slot['result'] = self.handler.transcribe(audio)
+                            slot['result'] = \
+                                self.handler.transcribe_many([audio])[0]
                         except Exception as e:  # noqa: BLE001
                             slot['error'] = e
                         done.set()

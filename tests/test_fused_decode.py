@@ -329,6 +329,21 @@ class TestGroupedKernel:
                 np.testing.assert_array_equal(
                     dst[i * 2 + g], src[i, :, g * 8:(g + 1) * 8])
 
+    def test_grouped_kernel_rejects_non_int8_params(self):
+        """The group-axis kernel writes an int8 KV cache unconditionally
+        (it was only ever built for the int8 tier — PERF.md records the
+        design as a negative result); bf16/int4 FusedParams must fail
+        loudly instead of decoding silently wrong."""
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        dp, fp, cross, cross_g, cache, n_groups = self._grouped_setup()
+        fp_bf16 = fp._replace(wqkv=fp.wqkv.astype(jnp.bfloat16))
+        with pytest.raises(NotImplementedError, match='int8'):
+            fused_decode_window_grouped(
+                SMALL_CFG, fp_bf16, dp,
+                jnp.zeros((n_groups * 8,), jnp.int32),
+                jnp.zeros((n_groups * 8,), bool), jnp.int32(0),
+                cache, cross_g, t_window=8, interpret=True)
+
     def test_grouped_cache_matches_per_step(self):
         """Teacher-forced grouped cache rows must match the per-step
         kernel's at quantization-noise level (the grouped kernel keeps its

@@ -591,6 +591,50 @@ class TestAutoQuantize:
         assert handler.quantize == 'fused'
         assert info['probe_flips'] == 0
 
+    def test_exception_demotion_drops_stale_probe_counts(self, monkeypatch):
+        """A tier that probes WITH flips followed by tiers whose probes
+        RAISE must not leave the first tier's counts in the info dict —
+        /healthz would attribute them to a path that never measured
+        them (the same stale-evidence invariant serve's prewarm
+        demotion enforces)."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused_int4')
+
+        def probe(h, **kw):
+            if h.quantize == 'fused_int4':
+                return (7, 50)
+            raise RuntimeError('compile failed')
+
+        monkeypatch.setattr(probe_mod, 'quantize_probe', probe)
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'none'
+        assert 'probe_flips' not in info
+        assert 'probe_tokens' not in info
+        assert 'probe_tier' not in info
+        assert 'compile failed' in info['probe_error']
+        assert len(info['demotions']) == 3
+
+    def test_probe_tier_attributes_counts(self, monkeypatch):
+        """probe_tier names the tier the recorded counts measured: the
+        losing tier on a flip-demotion to 'none', the kept tier on a
+        clean ladder stop."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+        monkeypatch.setattr(
+            probe_mod, 'quantize_probe',
+            lambda h, **kw: (3, 50) if h.quantize == 'fused' else (0, 50))
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'fused_bf16'
+        assert info['probe_tier'] == 'fused_bf16'
+        assert info['probe_flips'] == 0
+        handler2 = self._handler('fused_bf16')
+        monkeypatch.setattr(probe_mod, 'quantize_probe',
+                            lambda h, **kw: (2, 50))
+        info2 = probe_mod.resolve_auto_quantize(handler2, verbose=False)
+        assert handler2.quantize == 'none'
+        assert info2['probe_tier'] == 'fused_bf16'
+        assert info2['probe_flips'] == 2
+
     def test_probe_caches_exact_tokens_across_ladder(self):
         """The exact-side decode depends only on weights/config, so the
         ladder's re-probes must reuse it instead of rebuilding the exact

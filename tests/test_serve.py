@@ -236,23 +236,62 @@ class TestMicroBatcher:
         assert calls[0] == 1
         assert calls[1] == 3  # the 3 waiters coalesced into one batch
     def test_error_isolation(self):
-        """A failing song in a coalesced batch must not fail its peers."""
-        class FlakyHandler:
-            def transcribe_many(self, audios):
-                raise RuntimeError('batch path fails')
+        """A failing song in a coalesced batch must not fail its peers,
+        and the per-song fallback must go through transcribe_many — the
+        path prepare_handler prewarms. handler.transcribe would route
+        contiguous decode to the never-prewarmed local program under a
+        mesh, so this handler deliberately has NO transcribe()."""
+        import time
 
-            def transcribe(self, audio):
-                if len(audio) == 1:
-                    raise ValueError('bad song')
+        release = threading.Event()
+        calls = []
+
+        class FlakyHandler:  # no transcribe() on purpose (see docstring)
+            @staticmethod
+            def _ns():
                 class NS:
                     notes = []
                 return NS()
 
+            def transcribe_many(self, audios):
+                calls.append(len(audios))
+                if len(calls) == 1:  # hold the worker so peers coalesce
+                    release.wait(timeout=10)
+                    return [self._ns() for _ in audios]
+                if any(len(a) == 1 for a in audios):
+                    raise ValueError('bad song')
+                return [self._ns() for _ in audios]
+
         batcher = serve.MicroBatcher(FlakyHandler())
-        good = batcher.transcribe(np.zeros(100, np.float32))
-        assert good is not None
-        with pytest.raises(ValueError):
-            batcher.transcribe(np.zeros(1, np.float32))
+        results = {}
+
+        def run(name, audio):
+            try:
+                results[name] = batcher.transcribe(audio)
+            except Exception as e:  # noqa: BLE001
+                results[name] = e
+
+        warm = threading.Thread(
+            target=run, args=('warm', np.zeros(100, np.float32)))
+        warm.start()
+        while not calls:  # wait until the worker holds the first request
+            time.sleep(0.005)
+        peers = [threading.Thread(
+            target=run, args=(name, np.zeros(n, np.float32)))
+            for name, n in (('good', 100), ('bad', 1))]
+        for t in peers:
+            t.start()
+        deadline = time.time() + 5
+        while batcher._q.qsize() < 2 and time.time() < deadline:
+            time.sleep(0.005)
+        release.set()
+        for t in [warm] + peers:
+            t.join(timeout=10)
+        assert not isinstance(results['warm'], Exception)
+        assert not isinstance(results['good'], Exception)
+        assert isinstance(results['bad'], ValueError)
+        # warm(1) -> coalesced batch of 2 raises -> per-song fallback 1+1
+        assert calls == [1, 2, 1, 1]
 
 
 class TestQuantizeGuard:
@@ -380,6 +419,27 @@ class TestQuantizeGuard:
                                    segment_bucket=1)
         info = serve.prepare_handler(handler, probe=False)
         assert info['prewarm_buckets'] == [1, 2, 4, 8]
+
+    def test_prewarm_covers_chain_buckets(self):
+        """Non-contiguous encoder_append: the padded device axis is the
+        memory-CHAIN count (ceil(segments/batch_size) per song), and a
+        single LONG song reaches chain buckets far beyond the 8-song
+        coalesce cap — prewarm must cover the pow2 chain buckets up to
+        _pow2_bucket's cap, not just song-count buckets."""
+        cfg = SMALL.replace(segmem_variant='encoder_append',
+                            segmem_length=4)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32),
+                               targets_prev=jnp.zeros((1, 4), jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=8, batch_size=2)
+        info = serve.prepare_handler(handler, probe=False)
+        # floor 4 absorbs counts 1-4; then each pow2 up to the cap is a
+        # fresh compiled shape (uncapped 'none' tier, n_data=1)
+        assert info['prewarm_buckets'] == [1, 8, 16, 32, 64]
 
     def test_healthz_reports_decode_path(self):
         """The server surfaces the chosen decode path + warm state."""
