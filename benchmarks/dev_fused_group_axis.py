@@ -34,12 +34,14 @@ def main(n_groups: int, t_window: int, chunk: int, phased: bool = False):
     enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
     from mr_mt3_tpu.ops.fast_decode import stack_decode_params
-    from mr_mt3_tpu.ops.fused_decode import (
+    from benchmarks.group_axis_kernel import (
         fused_decode_window_grouped,
         init_fused_cache_grouped,
+        regroup_cross_kv,
+    )
+    from mr_mt3_tpu.ops.fused_decode import (
         pack_fused_params,
         precompute_cross_kv_fused,
-        regroup_cross_kv,
     )
     from mr_mt3_tpu.utils.bench_helpers import time_stats, zero_variables
 

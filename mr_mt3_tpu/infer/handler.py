@@ -48,7 +48,13 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pow2_bucket(n: int, cap: int = 64) -> int:
+# largest leading-axis size that still pow2-buckets; beyond it shapes
+# grow in multiples of 4. serve.py's prewarm derives its bucket
+# candidates from this, so the two stay in sync by construction.
+POW2_BUCKET_CAP = 64
+
+
+def _pow2_bucket(n: int, cap: int = POW2_BUCKET_CAP) -> int:
     """Next power of two >= n, for n <= cap; beyond cap, fall back to
     multiples of 4. Variable chain/song counts each compile a distinct
     program (~100 s server-side startup per shape on this platform);

@@ -165,7 +165,7 @@ def resolve_auto_quantize(handler, verbose: bool = True,
         # probing, so an exception path can't leave them attributed to a
         # tier that never measured them
         for k in ('probe_flips', 'probe_tokens', 'probe_tier',
-                  'confirm_flips', 'confirm_tokens'):
+                  'confirm_flips', 'confirm_tokens', 'probe_error'):
             info.pop(k, None)
         try:
             flips, total = (probe_fn or quantize_probe)(handler)

@@ -36,8 +36,9 @@ def build_handler(argv):
 
     args = [a for a in argv if not a.startswith('--port')]
     config_name, config_dir, overrides = parse_cli(args)
-    cfg = load_config(config_dir or os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), 'configs'), config_name, overrides)
+    default_dir = os.environ.get('MR_MT3_CONFIGS') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'configs')
+    cfg = load_config(config_dir or default_dir, config_name, overrides)
     honor_platform_env()
     enable_compilation_cache()
 
@@ -139,7 +140,7 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         # the recorded probe counts belong to the tier we just left —
         # /healthz must not present them as evidence for the new one
         for k in ('probe_flips', 'probe_tokens', 'probe_tier',
-                  'confirm_flips', 'confirm_tokens'):
+                  'confirm_flips', 'confirm_tokens', 'probe_error'):
             info.pop(k, None)
 
     info = {'quantize': handler.quantize, 'prewarmed': False}
@@ -194,12 +195,19 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
             # songs (a 5-minute song is 5 chains), so song-count
             # candidates alone would leave real-traffic chain buckets
             # cold. Warm every pow2 chain bucket up to _pow2_bucket's
-            # cap (64); beyond it shapes grow in multiples of 4,
-            # unbounded by song length — those accept a cold compile.
-            # Each probe song contributes exactly one chain, so k probe
-            # songs exercise the k-chain bucket.
+            # cap; beyond it shapes grow in multiples of 4, unbounded by
+            # song length — those accept a cold compile. The probe song
+            # must contribute exactly ONE chain (ceil(segments/
+            # batch_size) == 1) so k probe songs exercise the k-chain
+            # bucket — at batch_size=1 the 2-segment probe would be 2
+            # chains per song and the predicted shapes would desync from
+            # what transcribe_many actually compiles.
+            from mr_mt3_tpu.infer.handler import POW2_BUCKET_CAP
+            if handler.batch_size < 2:
+                audio = probe_audio(1)
             floor = 4
-            candidates = [1 << i for i in range(7)]
+            candidates = [1 << i for i in range(POW2_BUCKET_CAP
+                                                .bit_length())]
         else:
             # vanilla non-contiguous: _decode_all pads every call to the
             # one fixed (batch_size * n_data) shape — a single warm

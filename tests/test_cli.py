@@ -427,3 +427,21 @@ class TestReferenceLaunchCommands:
 
 # reuse the corpus fixtures from test_data
 from tests.test_data import commu_root, slakh_root  # noqa: E402,F401
+
+
+class TestPackaging:
+    def test_console_entry_points_resolve(self):
+        """pyproject [project.scripts] must map to importable callables
+        (pip install -e . exposes mr-mt3-train/test/serve)."""
+        import importlib
+        import re
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        text = open(os.path.join(root, 'pyproject.toml')).read()
+        scripts = dict(re.findall(
+            r'^(mr-mt3-\w+) = "([\w.:]+)"', text, re.M))
+        assert set(scripts) == {'mr-mt3-train', 'mr-mt3-test',
+                                'mr-mt3-serve'}
+        for target in scripts.values():
+            mod_name, func = target.split(':')
+            mod = importlib.import_module(mod_name)
+            assert callable(getattr(mod, func))

@@ -304,7 +304,7 @@ class TestGroupedKernel:
     instead of once per group."""
 
     def _grouped_setup(self, batch=16, max_len=16):
-        from mr_mt3_tpu.ops.fused_decode import (
+        from benchmarks.group_axis_kernel import (
             init_fused_cache_grouped,
             regroup_cross_kv,
         )
@@ -318,7 +318,7 @@ class TestGroupedKernel:
     def test_regroup_cross_kv_layout(self):
         """regroup_cross_kv: (L, H, B, ...) -> (L*G + g) leading axis with
         the group's 8 rows in batch position."""
-        from mr_mt3_tpu.ops.fused_decode import regroup_cross_kv
+        from benchmarks.group_axis_kernel import regroup_cross_kv
         _, _, dp, fp, enc, cross, _ = _small_setup(batch=16)
         out = regroup_cross_kv(cross, 2)
         L = SMALL_CFG.num_decoder_layers
@@ -334,7 +334,7 @@ class TestGroupedKernel:
         (it was only ever built for the int8 tier — PERF.md records the
         design as a negative result); bf16/int4 FusedParams must fail
         loudly instead of decoding silently wrong."""
-        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        from benchmarks.group_axis_kernel import fused_decode_window_grouped
         dp, fp, cross, cross_g, cache, n_groups = self._grouped_setup()
         fp_bf16 = fp._replace(wqkv=fp.wqkv.astype(jnp.bfloat16))
         with pytest.raises(NotImplementedError, match='int8'):
@@ -348,7 +348,7 @@ class TestGroupedKernel:
         """Teacher-forced grouped cache rows must match the per-step
         kernel's at quantization-noise level (the grouped kernel keeps its
         window rows int8 — same codes the cache receives)."""
-        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        from benchmarks.group_axis_kernel import fused_decode_window_grouped
         dp, fp, cross, cross_g, cache_g, n_groups = self._grouped_setup()
         cache_ref = init_fused_cache(SMALL_CFG, 16, 16)
         forced = np.random.default_rng(7).integers(1, 200, size=(16, 8))
@@ -389,12 +389,12 @@ class TestGroupedKernel:
         )
         from mr_mt3_tpu.infer import InferenceHandler
         from mr_mt3_tpu.models.mt3 import MT3 as MT3Model
-        from mr_mt3_tpu.ops.fused_decode import (
-            fused_decode_window,
+        from benchmarks.group_axis_kernel import (
             fused_decode_window_grouped,
             init_fused_cache_grouped,
             regroup_cross_kv,
         )
+        from mr_mt3_tpu.ops.fused_decode import fused_decode_window
         params, _ = load_golden('parity_vanilla.npz')
         dp = stack_decode_params(params, VANILLA_CFG, dtype=jnp.float32)
         fp = pack_fused_params(params, VANILLA_CFG)
@@ -439,7 +439,7 @@ class TestGroupedKernel:
 
     def test_grouped_finished_masking(self):
         """Rows already finished emit only pads; the flag propagates."""
-        from mr_mt3_tpu.ops.fused_decode import fused_decode_window_grouped
+        from benchmarks.group_axis_kernel import fused_decode_window_grouped
         dp, fp, cross, cross_g, cache, n_groups = self._grouped_setup()
         fin0 = np.zeros((16,), bool)
         fin0[3] = True   # group 0

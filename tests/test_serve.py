@@ -274,8 +274,11 @@ class TestMicroBatcher:
         warm = threading.Thread(
             target=run, args=('warm', np.zeros(100, np.float32)))
         warm.start()
-        while not calls:  # wait until the worker holds the first request
+        deadline = time.time() + 5
+        while not calls and time.time() < deadline:
+            # wait until the worker holds the first request
             time.sleep(0.005)
+        assert calls, 'MicroBatcher worker never picked up the request'
         peers = [threading.Thread(
             target=run, args=(name, np.zeros(n, np.float32)))
             for name, n in (('good', 100), ('bad', 1))]

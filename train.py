@@ -22,8 +22,9 @@ def main(argv=None):
     from mr_mt3_tpu.utils.config import load_config, parse_cli
     config_name, config_dir, overrides = parse_cli(
         sys.argv[1:] if argv is None else argv)
-    cfg = load_config(config_dir or os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), 'configs'), config_name, overrides)
+    default_dir = os.environ.get('MR_MT3_CONFIGS') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'configs')
+    cfg = load_config(config_dir or default_dir, config_name, overrides)
 
     from mr_mt3_tpu.utils.profiling import (
         enable_compilation_cache,
