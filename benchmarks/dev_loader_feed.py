@@ -62,11 +62,9 @@ def main(n_songs: int = 8, rows: int = 12):
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
         build_corpus(root, n_songs)
-        ds = SlakhDataset(str(root), shuffle=True,
-                          num_rows_per_batch=rows,
-                          split_frame_length=2000)
+        cache_dir = str(root / '.token_cache')
 
-        def epoch_rate():
+        def epoch_rate(ds):
             loader = DataLoader(ds, batch_size=8, shuffle=True,
                                 num_workers=4)
             t0 = time.monotonic()
@@ -75,14 +73,27 @@ def main(n_songs: int = 8, rows: int = 12):
                 segs += batch['audio'].shape[0]
             return segs, time.monotonic() - t0
 
-        segs1, t1 = epoch_rate()   # cold: WAV read + tokenize
-        segs2, t2 = epoch_rate()   # cached tokenizations
-        segs3, t3 = epoch_rate()
+        ds = SlakhDataset(str(root), shuffle=True,
+                          num_rows_per_batch=rows,
+                          split_frame_length=2000, cache_dir=cache_dir)
+        segs1, t1 = epoch_rate(ds)   # cold: WAV read + MIDI tokenize
+        segs2, t2 = epoch_rate(ds)   # in-memory cached tokenizations
+        segs3, t3 = epoch_rate(ds)
         warm = min(t2, t3)
+        # process "restart": a FRESH dataset instance whose first epoch
+        # loads tokenizations from the on-disk cache (data/disk_cache.py)
+        # instead of re-parsing MIDI — the durable win over the
+        # reference's per-epoch re-parse
+        ds_restart = SlakhDataset(str(root), shuffle=True,
+                                  num_rows_per_batch=rows,
+                                  split_frame_length=2000,
+                                  cache_dir=cache_dir)
+        segs4, t4 = epoch_rate(ds_restart)
         print(json.dumps({
             'case': f'loader_feed_{n_songs}songs_x{rows}rows',
             'cold_seg_s': round(segs1 / t1, 1),
             'warm_seg_s': round(segs2 / warm, 1),
+            'restart_seg_s': round(segs4 / t4, 1),
             'segments_per_epoch': segs1,
             'step_demand_seg_s': 614,
             'headroom_x': round(segs2 / warm / 614, 1)}), flush=True)

@@ -11,10 +11,9 @@ import os
 from glob import glob
 from typing import List, Optional
 
-from mr_mt3_tpu.audio import read_audio, resample
 from mr_mt3_tpu.codec import note_sequences as nsq
 from mr_mt3_tpu.codec.slakh import PitchBendError, add_track_to_notesequence
-from mr_mt3_tpu.data import transforms
+from mr_mt3_tpu.data import disk_cache
 from mr_mt3_tpu.data.slakh import SlakhDataset
 from mr_mt3_tpu.midi import midi_file_to_note_sequence
 
@@ -62,10 +61,9 @@ class ComMUDataset(SlakhDataset):
             self._rng.shuffle(df)
         return df
 
-    def _load_song(self, idx: int) -> Optional[transforms.SongFeatures]:
-        if idx in self._cache:
-            return self._cache[idx]
-        row = self.df[idx]
+    def _parse_midi(self, row: dict) -> Optional[nsq.NoteSequence]:
+        """Single MIDI per song; program/is_drum from the first note
+        (reference: dataset_commu.py:84-96)."""
         track = midi_file_to_note_sequence(row['midi_path'])
         ns = nsq.NoteSequence(ticks_per_quarter=220)
         program = track.notes[0].program if track.notes else 0
@@ -76,14 +74,7 @@ class ComMUDataset(SlakhDataset):
                 ignore_pitch_bends=self.ignore_pitch_bends)
         except PitchBendError:
             return None
-        audio, sr = read_audio(row['audio_path'])
-        if sr != self.spectrogram_config.sample_rate:
-            audio = resample(audio, sr, self.spectrogram_config.sample_rate)
-        song = transforms.tokenize_song(
-            ns, audio, self.codec,
-            spectrogram_config=self.spectrogram_config,
-            is_train=self.is_train, include_ties=self.include_ties,
-            onsets_only=self.onsets_only)
-        if self.cache_songs:
-            self._cache[idx] = song
-        return song
+        return ns
+
+    def _midi_fingerprint_parts(self, row: dict) -> list:
+        return [disk_cache.hash_file(row['midi_path'])]

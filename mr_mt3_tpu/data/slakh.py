@@ -5,7 +5,9 @@ Behavior-compatible rebuild of the reference datasets
 dataset_2_random_segmem_prev_augment.py) with two deliberate changes:
 
   * per-song tokenizations are cached in memory — the reference re-parses
-    MIDI and re-runs the RLE hot loop every epoch;
+    MIDI and re-runs the RLE hot loop every epoch; optionally also cached
+    on disk (cache_dir / MR_MT3_TOKEN_CACHE, see data/disk_cache.py) so a
+    process RESTART skips the ~40-min cold tokenization pass too;
   * items carry raw audio segments + valid frame counts; the log-mel runs
     inside the jitted train step (see data/transforms.py docstring).
 
@@ -33,7 +35,7 @@ from mr_mt3_tpu.codec.slakh import (
     add_track_to_notesequence,
     slakh_class_to_program_and_is_drum,
 )
-from mr_mt3_tpu.data import transforms
+from mr_mt3_tpu.data import disk_cache, transforms
 from mr_mt3_tpu.midi import midi_file_to_note_sequence
 
 
@@ -65,6 +67,7 @@ class SlakhDataset:
         is_deterministic: bool = False,
         seed: int = 0,
         cache_songs: bool = True,
+        cache_dir: Optional[str] = None,
         use_tf_spectral_ops: bool = False,  # accepted for config parity
     ) -> None:
         self.spectrogram_config = SpectrogramConfig(
@@ -93,6 +96,9 @@ class SlakhDataset:
         self._visit_counts: Dict[int, int] = {}
         self._cache: Dict[int, transforms.SongFeatures] = {}
         self.cache_songs = cache_songs
+        resolved = disk_cache.resolve_cache_dir(cache_dir, root_dir)
+        self._disk = (disk_cache.TokenizationCache(resolved)
+                      if resolved else None)
         self.df = self._build_dataset(root_dir, shuffle=shuffle)
 
     # ---- file discovery (reference: dataset_2_random.py:65-79) ----
@@ -121,10 +127,9 @@ class SlakhDataset:
 
     # ---- song loading + tokenization (cached) ----
 
-    def _load_song(self, idx: int) -> Optional[transforms.SongFeatures]:
-        if idx in self._cache:
-            return self._cache[idx]
-        row = self.df[idx]
+    def _parse_midi(self, row: dict) -> Optional[nsq.NoteSequence]:
+        """All stems merged into one NoteSequence; None = PitchBendError
+        (the reference skips such songs — dataset_2_random.py:97-101)."""
         ns = nsq.NoteSequence(ticks_per_quarter=220)
         for stem, inst_name in row['inst_names'].items():
             program, is_drum = slakh_class_to_program_and_is_drum(inst_name)
@@ -136,14 +141,77 @@ class SlakhDataset:
                     ignore_pitch_bends=self.ignore_pitch_bends)
             except PitchBendError:
                 return None
+        return ns
+
+    def _midi_fingerprint_parts(self, row: dict) -> list:
+        """Content parts identifying the song's MIDI side for the disk
+        cache key (sorted by stem for order stability)."""
+        parts = []
+        for stem, inst_name in sorted(row['inst_names'].items()):
+            parts += [stem, inst_name, disk_cache.hash_file(
+                os.path.join(row['midi_path'], f'{stem}.mid'))]
+        return parts
+
+    def _song_key(self, row: dict) -> str:
+        sc = self.spectrogram_config
+        return disk_cache.hash_parts(
+            *self._midi_fingerprint_parts(row),
+            self.is_train, self.include_ties, self.onsets_only,
+            self.ignore_pitch_bends,
+            sc.hop_width, sc.sample_rate,
+            self.codec.steps_per_second, self.codec.max_shift_steps,
+            self.codec.num_classes)
+
+    def _read_audio(self, row: dict) -> np.ndarray:
         audio, sr = read_audio(row['audio_path'])
         if sr != self.spectrogram_config.sample_rate:
             audio = resample(audio, sr, self.spectrogram_config.sample_rate)
-        song = transforms.tokenize_song(
-            ns, audio, self.codec,
-            spectrogram_config=self.spectrogram_config,
-            is_train=self.is_train, include_ties=self.include_ties,
-            onsets_only=self.onsets_only)
+        return np.asarray(audio, dtype=np.float32)
+
+    def _load_song(self, idx: int) -> Optional[transforms.SongFeatures]:
+        if idx in self._cache:
+            return self._cache[idx]
+        row = self.df[idx]
+        key = self._song_key(row) if self._disk else None
+        entry = self._disk.get(key) if self._disk else None
+        if entry is not None and entry['skipped']:
+            return None
+
+        audio = self._read_audio(row)
+        hop = self.spectrogram_config.hop_width
+        if len(audio) % hop != 0:  # same padding as tokenize_song
+            audio = np.pad(audio, (0, hop - len(audio) % hop))
+        num_frames = len(audio) // hop
+
+        if entry is not None and entry['num_frames'] == num_frames:
+            song = transforms.SongFeatures(
+                audio=audio,
+                frame_times=(np.arange(num_frames)
+                             / self.spectrogram_config.frames_per_second),
+                events=entry['events'],
+                event_start_indices=entry['event_start_indices'],
+                event_end_indices=entry['event_end_indices'],
+                state_events=entry['state_events'],
+                state_event_indices=entry['state_event_indices'])
+        else:
+            ns = self._parse_midi(row)
+            if ns is None:
+                if self._disk:
+                    self._disk.put(key, None)
+                return None
+            song = transforms.tokenize_song(
+                ns, audio, self.codec,
+                spectrogram_config=self.spectrogram_config,
+                is_train=self.is_train, include_ties=self.include_ties,
+                onsets_only=self.onsets_only)
+            if self._disk:
+                self._disk.put(key, {
+                    'events': song.events,
+                    'event_start_indices': song.event_start_indices,
+                    'event_end_indices': song.event_end_indices,
+                    'state_events': song.state_events,
+                    'state_event_indices': song.state_event_indices,
+                }, num_frames=song.num_frames)
         if self.cache_songs:
             self._cache[idx] = song
         return song

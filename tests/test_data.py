@@ -331,3 +331,112 @@ class TestComMUDataset:
         # the ComMU-pinned values stay pinned
         with pytest.raises(TypeError):
             ComMUDataset(commu_root, is_randomize_tokens=False)
+
+
+class TestDiskTokenCache:
+    """Persistent tokenization cache (data/disk_cache.py): a process
+    restart must reuse the tokenized arrays instead of re-running the
+    MIDI parse + RLE hot loop (the reference re-parses every epoch —
+    dataset_2_random.py:109-172; we beat it durably)."""
+
+    def _ds(self, slakh_root, cache_dir, **kw):
+        return SlakhDataset(slakh_root, shuffle=False, is_deterministic=True,
+                            num_rows_per_batch=2, cache_dir=str(cache_dir),
+                            **kw)
+
+    def test_warm_restart_identical_and_no_retokenize(
+            self, slakh_root, tmp_path, monkeypatch):
+        cache = tmp_path / 'tok_cache'
+        cold = self._ds(slakh_root, cache)
+        items_cold = [cold[i] for i in range(len(cold))]
+        assert any(f.suffix == '.npz' for f in cache.iterdir())
+
+        # "restart": new instance, tokenize_song forbidden — every song
+        # must come from disk
+        from mr_mt3_tpu.data import transforms as tf_mod
+
+        def boom(*a, **k):
+            raise AssertionError('tokenize_song called on warm restart')
+
+        monkeypatch.setattr(tf_mod, 'tokenize_song', boom)
+        warm = self._ds(slakh_root, cache)
+        for i, cold_item in enumerate(items_cold):
+            warm_item = warm[i]
+            for k in cold_item:
+                np.testing.assert_array_equal(warm_item[k], cold_item[k])
+
+    def test_key_invalidation_on_midi_and_config(self, slakh_root, tmp_path):
+        cache = tmp_path / 'tok_cache'
+        ds = self._ds(slakh_root, cache)
+        k0 = ds._song_key(ds.df[0])
+        # different config -> different key
+        ds_ot = self._ds(slakh_root, cache, onsets_only=True)
+        assert ds_ot._song_key(ds_ot.df[0]) != k0
+        # touching a stem's bytes -> different key (content, not mtime)
+        stem_path = os.path.join(ds.df[0]['midi_path'], 'S00.mid')
+        with open(stem_path, 'rb') as f:
+            orig = f.read()
+        try:
+            with open(stem_path, 'ab') as f:
+                f.write(b'\x00')
+            assert ds._song_key(ds.df[0]) != k0
+        finally:
+            with open(stem_path, 'wb') as f:
+                f.write(orig)
+        assert ds._song_key(ds.df[0]) == k0
+
+    def test_num_frames_mismatch_is_miss(self, slakh_root, tmp_path):
+        """A stored entry for a different audio length re-tokenizes (the
+        per-frame index arrays are only valid for their frame grid)."""
+        cache = tmp_path / 'tok_cache'
+        ds = self._ds(slakh_root, cache)
+        song = ds._load_song(0)
+        key = ds._song_key(ds.df[0])
+        entry = ds._disk.get(key)
+        assert entry['num_frames'] == song.num_frames
+        # corrupt the stored frame count; a fresh instance must fall back
+        # to tokenizing and then heal the entry
+        arrays = {k: entry[k] for k in
+                  ('events', 'event_start_indices', 'event_end_indices',
+                   'state_events', 'state_event_indices')}
+        ds._disk.put(key, arrays, num_frames=entry['num_frames'] + 7)
+        fresh = self._ds(slakh_root, cache)
+        song2 = fresh._load_song(0)
+        np.testing.assert_array_equal(song2.events, song.events)
+        assert fresh._disk.get(key)['num_frames'] == song.num_frames
+
+    def test_corrupt_entry_degrades_to_miss(self, slakh_root, tmp_path):
+        cache = tmp_path / 'tok_cache'
+        ds = self._ds(slakh_root, cache)
+        ds._load_song(0)
+        key = ds._song_key(ds.df[0])
+        path = ds._disk._path(key)
+        with open(path, 'wb') as f:
+            f.write(b'not an npz')
+        fresh = self._ds(slakh_root, cache)
+        assert fresh._disk.get(key) is None      # dropped, not raised
+        assert fresh._load_song(0) is not None   # re-tokenized fine
+
+    def test_env_var_enables_cache(self, slakh_root, tmp_path, monkeypatch):
+        cache = tmp_path / 'env_cache'
+        monkeypatch.setenv('MR_MT3_TOKEN_CACHE', str(cache))
+        ds = SlakhDataset(slakh_root, shuffle=False, is_deterministic=True,
+                          num_rows_per_batch=2)
+        ds._load_song(0)
+        assert any(f.suffix == '.npz' for f in cache.iterdir())
+        monkeypatch.delenv('MR_MT3_TOKEN_CACHE')
+        off = SlakhDataset(slakh_root, shuffle=False, num_rows_per_batch=2)
+        assert off._disk is None
+
+    def test_commu_shares_cache_flow(self, commu_root, tmp_path, monkeypatch):
+        cache = tmp_path / 'commu_cache'
+        cold = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=2,
+                            is_deterministic=True, cache_dir=str(cache))
+        item_cold = cold[0]
+        from mr_mt3_tpu.data import transforms as tf_mod
+        monkeypatch.setattr(tf_mod, 'tokenize_song', lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError('tokenize_song called on warm restart')))
+        warm = ComMUDataset(commu_root, shuffle=False, num_rows_per_batch=2,
+                            is_deterministic=True, cache_dir=str(cache))
+        for k in item_cold:
+            np.testing.assert_array_equal(warm[0][k], item_cold[k])
