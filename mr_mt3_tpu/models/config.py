@@ -44,6 +44,18 @@ class MT3Config:
 
     # compute dtype for activations ('float32' or 'bfloat16'); params stay fp32
     dtype: str = 'float32'
+    # training-path attention implementation:
+    #   'auto'   — ops/train_attention.py single-tile fused Pallas kernel
+    #              on TPU when activations are bf16 (the production
+    #              training mode); plain einsum+softmax otherwise (CPU
+    #              tests, fp32 parity runs)
+    #   'einsum' — always the unfused reference-shaped path
+    #   'fused'  — force the fused kernel (TPU benchmarking/parity tests)
+    # The fused kernel is exact attention (fp32 scores/softmax in VMEM);
+    # it differs from einsum only by fp reassociation. Decode uses its own
+    # kernels (ops/decode.py, ops/fused_decode.py) — this knob is about the
+    # teacher-forced training/eval forward.
+    attention_kernel: str = 'auto'
     # rematerialize each transformer block in the backward pass (gradient
     # checkpointing; dormant in the reference — models/t5.py:497)
     remat: bool = False
@@ -86,5 +98,6 @@ def config_from_dict(d: dict) -> MT3Config:
         segmem_num_layers=d.get('segmem_num_layers', 1),
         segmem_seed=d.get('segmem_seed', 'tie_eos'),
         dtype=d.get('dtype', 'float32'),
+        attention_kernel=d.get('attention_kernel', 'auto'),
         remat=bool(d.get('remat', False)),
     )

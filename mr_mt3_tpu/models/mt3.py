@@ -88,8 +88,42 @@ class RMSNorm(nn.Module):
         return (weight * out.astype(dtype)).astype(dtype)
 
 
+def _resolve_attention_kernel(cfg: MT3Config) -> str:
+    """'auto' -> 'fused' only for the production TPU bf16 training mode;
+    fp32 runs keep the einsum path so parity goldens see identical
+    reassociation, and CPU tests never trace the TPU kernel."""
+    if cfg.attention_kernel != 'auto':
+        return cfg.attention_kernel
+    if cfg.dtype == 'bfloat16' and jax.default_backend() == 'tpu':
+        return 'fused'
+    return 'einsum'
+
+
+# Gate the fused kernel to long sequences: per-shape fwd+bwd timings
+# (benchmarks/dev_attn_micro.py, B=96 H=6 D=64, TPU v5e) measured the
+# kernel 1.6x FASTER at 1024^2 (8.2 vs 13.0 ms — the fp32 score tensor
+# stops round-tripping HBM) but SLOWER at every 256-length shape (0.6 vs
+# 0.12; 1.36 vs 0.23 causal; 1.83 vs 0.89 cross): at L=256 the (B*H)=576
+# tiny grid steps plus the (B,H,L,D) layout passes cost more than XLA's
+# fused einsum+softmax. So only the segmem memory encoder (L=1024) uses
+# the kernel; everything shorter keeps einsum.
+_FUSED_MIN_LEN = 512
+
+
 class Attention(nn.Module):
-    """T5 multi-head attention (no scaling, no bias) with optional KV cache."""
+    """T5 multi-head attention (no scaling, no bias) with optional KV cache.
+
+    Two teacher-forced implementations (cfg.attention_kernel):
+      einsum — materializes (B, H, Lq, Lk) scores in HBM, fp32 softmax
+               (the reference's shape, models/t5.py attention);
+      fused  — ops/train_attention.py single-tile Pallas kernel: the
+               whole score matrix lives in VMEM, fp32 softmax on-chip,
+               only the (Lq, D) output reaches HBM. Same numerics class
+               as einsum (fp32 scores/softmax, bf16 PV); picked
+               automatically on TPU bf16 ('auto'). The stock streaming
+               flash-attention kernel measured 2.2x SLOWER than einsum
+               at these lengths (PERF.md round-4 negative result).
+    """
     cfg: MT3Config
 
     def setup(self):
@@ -111,25 +145,51 @@ class Attention(nn.Module):
         """K/V head projections of a source sequence (for caching)."""
         return self._heads(self.k(kv_src)), self._heads(self.v(kv_src))
 
+    def _fused_eligible(self, lq: int, lk: int,
+                        mask: Optional[jnp.ndarray], causal: bool) -> bool:
+        if _resolve_attention_kernel(self.cfg) != 'fused':
+            return False
+        if mask is not None:       # decode-step / prefill masks stay einsum
+            return False
+        if lq < _FUSED_MIN_LEN or lq % 8:
+            return False
+        if causal and lq != lk:    # causal masking assumes square here
+            return False
+        return True
+
     def attend(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+               mask: Optional[jnp.ndarray],
+               causal: bool = False) -> jnp.ndarray:
         """q_in: (B, Lq, D); k/v: (B, Lk, H, Dk); mask: (Lq, Lk) or
-        (B, 1, Lq, Lk) additive."""
+        (B, 1, Lq, Lk) additive, mutually exclusive with causal=True
+        (the flash path implements causality by tile skipping, the
+        einsum path builds the additive mask here)."""
         q = self._heads(self.q(q_in))
-        scores = jnp.einsum('bqhd,bkhd->bhqk', q, k)
-        if mask is not None:
-            scores = scores + mask
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            q_in.dtype)
-        out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
+        lq, lk = q.shape[1], k.shape[1]
+        if self._fused_eligible(lq, lk, mask, causal):
+            from mr_mt3_tpu.ops.train_attention import fused_attention
+            out = fused_attention(q, k, v, causal)
+        else:
+            if causal:
+                if mask is not None:
+                    raise ValueError('pass mask or causal=True, not both')
+                tri = jnp.tril(jnp.ones((lq, lk), dtype=bool))
+                mask = jnp.where(tri, 0.0, -1e9).astype(q_in.dtype)
+            scores = jnp.einsum('bqhd,bkhd->bhqk', q, k)
+            if mask is not None:
+                scores = scores + mask
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(q_in.dtype)
+            out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
         b, lq = out.shape[:2]
         return self.o(out.reshape(b, lq, self.cfg.inner_dim))
 
     def __call__(self, x: jnp.ndarray, kv_src: Optional[jnp.ndarray] = None,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 causal: bool = False) -> jnp.ndarray:
         src = x if kv_src is None else kv_src
         k, v = self.project_kv(src)
-        return self.attend(x, k, v, mask)
+        return self.attend(x, k, v, mask, causal=causal)
 
 
 class FeedForward(nn.Module):
@@ -174,10 +234,10 @@ class Block(nn.Module):
 
     def __call__(self, x: jnp.ndarray,
                  encoder_out: Optional[jnp.ndarray] = None,
-                 self_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
         x = x + self._drop(
-            self.self_attn(self.self_norm(x), mask=self_mask), deterministic)
+            self.self_attn(self.self_norm(x), causal=self.is_decoder),
+            deterministic)
         if self.is_decoder:
             x = x + self._drop(
                 self.cross_attn(self.cross_norm(x), kv_src=encoder_out),
@@ -202,8 +262,8 @@ class Stack(nn.Module):
         block_cls = Block
         if self.cfg.remat:
             # rematerialize block activations in the backward pass;
-            # deterministic (arg 4, counting self) must stay static
-            block_cls = nn.remat(Block, static_argnums=(4,))
+            # deterministic (arg 3, counting self) must stay static
+            block_cls = nn.remat(Block, static_argnums=(3,))
         self.blocks = [
             block_cls(self.cfg, is_decoder=self.is_decoder,
                       dropout_rate=self.dropout_rate, name=f'block_{i}')
@@ -224,14 +284,10 @@ class Stack(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         x = self.add_positions(embeds)
         x = self.io_dropout(x, deterministic=deterministic)
-        self_mask = None
-        if self.is_decoder:
-            seq = x.shape[-2]
-            causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
-            self_mask = jnp.where(causal, 0.0, -1e9).astype(x.dtype)
         for block in self.blocks:
             # positional call so nn.remat's static_argnums applies
-            x = block(x, encoder_out, self_mask, deterministic)
+            # (causality is the block's own is_decoder attribute)
+            x = block(x, encoder_out, deterministic)
         x = self.final_norm(x)
         x = self.io_dropout(x, deterministic=deterministic)
         return x
