@@ -154,8 +154,20 @@ class InferenceHandler:
             # tokens vs single-device. Divisibility by the data axis is
             # handled per-path on the sharded axis (device batch, chain
             # count, song count), which carries no semantics.
-            from mr_mt3_tpu.parallel.mesh import replicate
-            self.variables = jax.device_put(self.variables, replicate(mesh))
+            from mr_mt3_tpu.parallel.mesh import param_shardings, replicate
+            if int(mesh.shape.get('model', 1)) > 1:
+                # tensor-parallel decode: weights shard over 'model' by
+                # the same rules as training (parallel/mesh.py:_PARAM_RULES)
+                # and _shard_jit switches from shard_map to jit+GSPMD so
+                # XLA inserts the per-pair all-reduces
+                self.variables = jax.device_put(
+                    self.variables,
+                    {k: param_shardings(v, mesh) if k == 'params'
+                     else replicate(mesh)
+                     for k, v in self.variables.items()})
+            else:
+                self.variables = jax.device_put(self.variables,
+                                                replicate(mesh))
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)
         self.codec = build_codec(VocabularyConfig(num_velocity_bins=1))
@@ -248,7 +260,21 @@ class InferenceHandler:
         leading dims to multiples of the data-axis size."""
         if self.mesh is None:
             return jax.jit(fn)
+        from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
+        if int(self.mesh.shape.get('model', 1)) > 1:
+            # tensor-parallel: shard_map can't express intra-op model
+            # parallelism, so jit with explicit input shardings and let
+            # GSPMD partition the matmuls over 'model' (one all-reduce
+            # per attention/FFN pair, per the training TP rules) while
+            # the batch still splits over 'data'. self.variables was
+            # placed by param_shardings in __init__; passing its live
+            # shardings through keeps placement and partitioning agreed.
+            var_shardings = jax.tree.map(lambda a: a.sharding,
+                                         self.variables)
+            data = NamedSharding(self.mesh, P('data'))
+            return jax.jit(fn, in_shardings=(var_shardings, data, data),
+                           out_shardings=data)
         # check_vma off: zero-initialized carries (KV caches) start
         # replicated and become data-varying after the first update, which
         # the static vma checker rejects; the body has no collectives

@@ -711,7 +711,11 @@ class TestAutoQuantize:
         info = probe_mod.resolve_auto_quantize(
             handler, verbose=False, probe_fn=fake_probe)
         assert handler.quantize == 'fused_bf16'
-        assert 'VMEM exceeded' in info['probe_error']
+        # the losing tier's probe_error must NOT survive next to the
+        # winning tier's clean counts (stale-evidence guard); the failure
+        # reason lives in the demotions history instead
+        assert 'probe_error' not in info
+        assert any('VMEM exceeded' in d for d in info['demotions'])
         assert any('confirm failed' in d for d in info['demotions'])
 
     def test_full_length_confirm_real_probe(self, monkeypatch):
