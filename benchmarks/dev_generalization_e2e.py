@@ -60,7 +60,11 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     )
     from mr_mt3_tpu.parallel import make_mesh
     from mr_mt3_tpu.train.optim import make_optimizer
-    from mr_mt3_tpu.train.trainer import Trainer, create_train_state
+    from mr_mt3_tpu.train.trainer import (
+        CheckpointPolicy,
+        Trainer,
+        create_train_state,
+    )
 
     cfg = model.cfg
     ds_cls = (SlakhDatasetWithPrevSegmem if cfg.has_segmem
@@ -72,6 +76,7 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     train_ds = ds_cls(train_root, shuffle=True, **common)
     val_ds = ds_cls(heldout_root, shuffle=False, is_deterministic=True,
                     is_randomize_tokens=False, **common)
+    songs_per_batch = min(songs_per_batch, len(train_ds.df))
     train_loader = DataLoader(train_ds, batch_size=songs_per_batch,
                               shuffle=True, drop_last=True, seed=7)
     val_loader = DataLoader(val_ds, batch_size=songs_per_batch,
@@ -88,9 +93,13 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                                total_steps=max_steps, min_lr=0.02,
                                use_schedule=True, weight_decay=0.0)
     state = create_train_state(variables['params'], optimizer)
+    # epochs here are ~8 steps; per-epoch Orbax 'last' saves would swamp
+    # the step time, so checkpointing is manual (one save at the end)
     trainer = Trainer(model, optimizer, out_dir=os.path.join(tmp, name),
                       mesh=make_mesh(data=1, model=1),
-                      log_every_n_steps=200)
+                      log_every_n_steps=200,
+                      checkpoint_policy=CheckpointPolicy(
+                          save_last=False, save_top_k=0))
 
     steps_per_epoch = len(train_loader)
     num_epochs = max(1, max_steps // steps_per_epoch)
