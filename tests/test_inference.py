@@ -358,6 +358,34 @@ class TestMeshHandler:
         _, sharded = self._vanilla_pair(batch_size=6, mesh_data=4)
         assert sharded.batch_size == 6
 
+    def test_tensor_parallel_tokens_identical(self):
+        """model axis > 1: weights shard over 'model' by the training TP
+        rules (parallel/mesh.py:_PARAM_RULES) and _shard_jit switches
+        from shard_map to jit+GSPMD so XLA inserts the all-reduces;
+        tokens must still match the single-device handler."""
+        from jax.sharding import PartitionSpec as P
+
+        from mr_mt3_tpu.parallel import make_mesh
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        local = InferenceHandler(model=model, variables=variables,
+                                 max_length=8, batch_size=4)
+        tp_mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        tp = InferenceHandler(model=model, variables=variables,
+                              max_length=8, batch_size=4, mesh=tp_mesh)
+        # the q projection must actually be sharded over 'model'
+        q_kernel = tp.variables['params']['decoder']['block_0'][
+            'self_attn']['q']['kernel']
+        assert q_kernel.sharding.spec == P(None, 'model'), \
+            q_kernel.sharding
+        mel = np.random.default_rng(5).normal(
+            size=(8, 256, 512)).astype(np.float32)
+        np.testing.assert_array_equal(local._decode_all(mel),
+                                      tp._decode_all(mel))
+
     def test_segmem_chain_length_indivisible_by_mesh(self):
         """Chain length (batch_size) NOT divisible by the data axis must
         still produce tokens identical to single-device — the round-3
