@@ -35,11 +35,19 @@ def build():
     import jax.numpy as jnp
 
     from mr_mt3_tpu.models import MT3, MT3Config
-    from mr_mt3_tpu.utils.bench_helpers import zero_variables
+    from mr_mt3_tpu.utils.builders import param_shapes
 
     cfg = MT3Config(dtype='bfloat16')
     model = MT3(cfg)
-    variables = zero_variables(model)
+    # deterministic NON-ZERO params (host-generated; device init costs
+    # tens of seconds here): zero weights give all-zero logits, which
+    # would make the save/load output-hash comparison vacuous
+    rng = np.random.default_rng(0)
+    variables = {'params': jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype),
+        param_shapes(model))}
 
     def forward(variables, mel, ids):
         return model.apply(variables, mel, decoder_input_ids=ids,

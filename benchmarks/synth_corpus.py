@@ -82,8 +82,9 @@ def make_song(rng: np.random.Generator,
     sustained-across-boundary ties appear in every song.
     """
     names = list(INSTRUMENTS)
-    chosen = rng.choice(len(names), size=int(rng.integers(*n_stems)) + 1,
-                        replace=False)
+    # inclusive range: (2, 3) means 2 or 3 stems
+    n = int(rng.integers(n_stems[0], n_stems[1] + 1))
+    chosen = rng.choice(len(names), size=n, replace=False)
     root = int(rng.integers(0, 12))
     total = int(duration * SR)
     mix = rng.normal(size=total).astype(np.float32) * 1e-3  # -60 dB floor

@@ -156,18 +156,30 @@ class InferenceHandler:
             # count, song count), which carries no semantics.
             from mr_mt3_tpu.parallel.mesh import param_shardings, replicate
             if int(mesh.shape.get('model', 1)) > 1:
-                # tensor-parallel decode: weights shard over 'model' by
-                # the same rules as training (parallel/mesh.py:_PARAM_RULES)
-                # and _shard_jit switches from shard_map to jit+GSPMD so
-                # XLA inserts the per-pair all-reduces
-                self.variables = jax.device_put(
-                    self.variables,
-                    {k: param_shardings(v, mesh) if k == 'params'
-                     else replicate(mesh)
-                     for k, v in self.variables.items()})
-            else:
-                self.variables = jax.device_put(self.variables,
-                                                replicate(mesh))
+                # Tensor-parallel decode (jit+GSPMD, _shard_jit below)
+                # cannot partition Pallas custom calls: the quantized
+                # megakernel/dequant tiers consume whole weight matrices
+                # that TP shards over 'model', and the fused training-
+                # attention kernel would sit under GSPMD too. Reject the
+                # former loudly; pin the latter to einsum.
+                if self.quantize not in (None, 'none'):
+                    raise ValueError(
+                        f'quantize={self.quantize!r} is not supported '
+                        'with a model axis > 1: the Pallas decode '
+                        'kernels read whole weight matrices and cannot '
+                        'be GSPMD-partitioned. Use a data-only mesh for '
+                        'quantized serving, or quantize=None for TP.')
+                if self.cfg.attention_kernel == 'auto':
+                    self.model = MT3(self.cfg.replace(
+                        attention_kernel='einsum'))
+                    self.cfg = self.model.cfg
+            # param_shardings applies the TP rules when the model axis is
+            # >1 and replicates everything otherwise
+            self.variables = jax.device_put(
+                self.variables,
+                {k: param_shardings(v, mesh) if k == 'params'
+                 else replicate(mesh)
+                 for k, v in self.variables.items()})
         self.spectrogram_config = SpectrogramConfig(
             filterbank_style=filterbank_style)
         self.codec = build_codec(VocabularyConfig(num_velocity_bins=1))

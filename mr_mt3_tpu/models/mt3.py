@@ -88,10 +88,28 @@ class RMSNorm(nn.Module):
         return (weight * out.astype(dtype)).astype(dtype)
 
 
+_ATTENTION_KERNELS = ('auto', 'einsum', 'fused')
+
+
 def _resolve_attention_kernel(cfg: MT3Config) -> str:
-    """'auto' -> 'fused' only for the production TPU bf16 training mode;
-    fp32 runs keep the einsum path so parity goldens see identical
-    reassociation, and CPU tests never trace the TPU kernel."""
+    """'auto' -> 'fused' only for the production TPU bf16 mode; fp32 runs
+    keep the einsum path so parity goldens see identical reassociation,
+    and CPU tests never trace the TPU kernel.
+
+    Unknown values raise here (the single chokepoint) instead of
+    silently running einsum — a typo like 'fuse' would otherwise make a
+    benchmark 'measure' a kernel it never ran.
+
+    NOTE: a pallas_call cannot be auto-partitioned by GSPMD, so callers
+    that jit a model over a multi-device mesh (trainer, TP decode) must
+    pin attention_kernel='einsum' — Trainer and InferenceHandler both do
+    (single-device meshes keep the kernel; data-parallel decode is safe
+    because it enters through shard_map, where the kernel runs
+    per-device)."""
+    if cfg.attention_kernel not in _ATTENTION_KERNELS:
+        raise ValueError(
+            f'unknown attention_kernel {cfg.attention_kernel!r}; '
+            f'expected one of {_ATTENTION_KERNELS}')
     if cfg.attention_kernel != 'auto':
         return cfg.attention_kernel
     if cfg.dtype == 'bfloat16' and jax.default_backend() == 'tpu':

@@ -24,8 +24,15 @@ fp32 natively, so this is free); probabilities cast to bf16 for the PV
 matmul — exactly the einsum path's contract, so logit-parity tests see
 the same numerics class (fp reassociation differences only).
 
-Training-only: decode uses its own kernels (ops/decode.py,
-ops/fused_decode.py). Masked decode-prefill calls stay on einsum.
+Scope: every FULL-SEQUENCE attention on TPU bf16 — the training and
+eval teacher-forced forward, and decode-side full-sequence legs that
+reach Attention.attend with no mask (the segmem memory encoder runs at
+L=1024 inside decode programs too). Per-step decode attention uses its
+own kernels (ops/decode.py, ops/fused_decode.py) and masked prefill
+calls stay on einsum. A pallas_call cannot be GSPMD-partitioned, so
+multi-device jit contexts pin attention_kernel='einsum' (Trainer, TP
+decode in InferenceHandler); the data-parallel decode path is safe —
+it enters through shard_map, where the kernel runs per device.
 """
 
 from __future__ import annotations

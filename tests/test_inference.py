@@ -386,6 +386,39 @@ class TestMeshHandler:
         np.testing.assert_array_equal(local._decode_all(mel),
                                       tp._decode_all(mel))
 
+    def test_tensor_parallel_rejects_quantize_tiers(self):
+        """Pallas decode kernels read whole weight matrices; sharding
+        them over 'model' cannot be GSPMD-partitioned, so the handler
+        must refuse the combination loudly instead of crashing at the
+        first decode."""
+        from mr_mt3_tpu.parallel import make_mesh
+        model = MT3(SMALL)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        tp_mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match='model axis'):
+            InferenceHandler(model=model, variables=variables,
+                             max_length=8, quantize='fused',
+                             mesh=tp_mesh)
+
+    def test_tensor_parallel_pins_attention_kernel_einsum(self):
+        """'auto' would resolve the fused Pallas training-attention
+        kernel on TPU bf16, which jit+GSPMD cannot partition — the TP
+        handler must pin it to einsum."""
+        from mr_mt3_tpu.parallel import make_mesh
+        cfg = SMALL.replace(dtype='bfloat16')
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        tp_mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        tp = InferenceHandler(model=model, variables=variables,
+                              max_length=8, mesh=tp_mesh)
+        assert tp.cfg.attention_kernel == 'einsum'
+
     def test_segmem_chain_length_indivisible_by_mesh(self):
         """Chain length (batch_size) NOT divisible by the data axis must
         still produce tokens identical to single-device — the round-3

@@ -203,6 +203,20 @@ class TestTrainStep:
 
 
 class TestTrainerLoop:
+    def test_multichip_mesh_pins_attention_kernel_einsum(self, tmp_path):
+        """jit+GSPMD cannot partition the fused Pallas training-attention
+        kernel: a Trainer over a multi-device mesh must rebuild the model
+        with attention_kernel='einsum' (single-device meshes keep 'auto'
+        — the benchmarked TPU fast path)."""
+        optimizer = make_optimizer(1e-3, use_schedule=False)
+        model = MT3(TINY.replace(dtype='bfloat16'))
+        multi = Trainer(model, optimizer, out_dir=str(tmp_path / 'a'),
+                        mesh=make_mesh(data=8, model=1))
+        assert multi.model.cfg.attention_kernel == 'einsum'
+        single = Trainer(model, optimizer, out_dir=str(tmp_path / 'b'),
+                         mesh=make_mesh(data=1, model=1))
+        assert single.model.cfg.attention_kernel == 'auto'
+
     def test_fit_with_val_and_checkpoints(self, tmp_path):
         model = MT3(TINY)
         variables = model.init(jax.random.PRNGKey(0),
