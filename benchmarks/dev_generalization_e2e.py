@@ -107,22 +107,37 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     # epoch loop with val each ~500 steps; manual so we can early-stop
     val_every = max(1, 500 // steps_per_epoch)
     history = []
+    best = float('inf')
     for epoch in range(num_epochs):
         state = trainer.fit(state, train_loader, val_loader=None,
                             num_epochs=epoch + 1, start_epoch=epoch)
         if (epoch + 1) % val_every == 0 or epoch == num_epochs - 1:
             vl = trainer.validate(state, val_loader)
             history.append(vl)
+            marker = ''
+            if vl < best:
+                best = vl
+                # eval the BEST-val checkpoint, not wherever training
+                # stopped — a 46M model can overfit this corpus late
+                trainer.save_checkpoint(state, 'best',
+                                        with_opt_state=False)
+                marker = ' *best'
             print(f'  [{name}] epoch {epoch + 1}/{num_epochs} '
                   f'step {int(state.step)} val_loss {vl:.4f} '
-                  f'({time.time() - t0:.0f}s)', flush=True)
-            # plateau stop: no 2% improvement over the last 4 val points
-            if len(history) >= 5 and min(history[-4:]) > 0.98 * min(
-                    history[:-4]) and min(history) < 0.1:
+                  f'({time.time() - t0:.0f}s){marker}', flush=True)
+            # stop when the last 4 val points show no 2% improvement
+            # over the best before them (overfit guard included: a
+            # worsening tail also trips this)
+            if len(history) >= 6 and min(history[-4:]) > 0.98 * min(
+                    history[:-4]):
                 print(f'  [{name}] val plateau — stopping', flush=True)
                 break
     train_s = time.time() - t0
     trainer.save_checkpoint(state, 'final', with_opt_state=False)
+    best_params, best_step = trainer.restore_params('best')
+    state = state.replace(params=jax.device_put(best_params))
+    print(f'  [{name}] eval uses best-val checkpoint (step {best_step}, '
+          f'val_loss {best:.4f})', flush=True)
 
     # ---- held-out + train-subset F1 through the product path ----
     from mr_mt3_tpu.infer.scores import get_scores
@@ -132,7 +147,9 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
         glob.glob(os.path.join(train_root, '*', 'mix_16k.wav')))[:8]
     results = {'model': name, 'train_steps': int(state.step),
                'train_seconds': round(train_s, 1),
-               'final_val_loss': round(history[-1], 4)}
+               'final_val_loss': round(history[-1], 4),
+               'best_val_loss': round(best, 4),
+               'eval_checkpoint_step': int(best_step)}
     for split, files, gt_root in (
             ('heldout', heldout_files, heldout_root),
             ('train', train_files, train_root)):

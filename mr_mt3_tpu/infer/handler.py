@@ -157,11 +157,12 @@ class InferenceHandler:
             from mr_mt3_tpu.parallel.mesh import param_shardings, replicate
             if int(mesh.shape.get('model', 1)) > 1:
                 # Tensor-parallel decode (jit+GSPMD, _shard_jit below)
-                # cannot partition Pallas custom calls: the quantized
-                # megakernel/dequant tiers consume whole weight matrices
-                # that TP shards over 'model', and the fused training-
-                # attention kernel would sit under GSPMD too. Reject the
-                # former loudly; pin the latter to einsum.
+                # cannot partition the quantized Pallas tiers: the
+                # megakernel/dequant kernels consume whole weight
+                # matrices that TP shards over 'model'. Reject loudly.
+                # (The fused full-sequence attention kernel is fine —
+                # ops/train_attention.py carries a custom_partitioning
+                # rule over its batch/head grid.)
                 if self.quantize not in (None, 'none'):
                     raise ValueError(
                         f'quantize={self.quantize!r} is not supported '
@@ -169,10 +170,6 @@ class InferenceHandler:
                         'kernels read whole weight matrices and cannot '
                         'be GSPMD-partitioned. Use a data-only mesh for '
                         'quantized serving, or quantize=None for TP.')
-                if self.cfg.attention_kernel == 'auto':
-                    self.model = MT3(self.cfg.replace(
-                        attention_kernel='einsum'))
-                    self.cfg = self.model.cfg
             # param_shardings applies the TP rules when the model axis is
             # >1 and replicates everything otherwise
             self.variables = jax.device_put(

@@ -100,12 +100,9 @@ def _resolve_attention_kernel(cfg: MT3Config) -> str:
     silently running einsum — a typo like 'fuse' would otherwise make a
     benchmark 'measure' a kernel it never ran.
 
-    NOTE: a pallas_call cannot be auto-partitioned by GSPMD, so callers
-    that jit a model over a multi-device mesh (trainer, TP decode) must
-    pin attention_kernel='einsum' — Trainer and InferenceHandler both do
-    (single-device meshes keep the kernel; data-parallel decode is safe
-    because it enters through shard_map, where the kernel runs
-    per-device)."""
+    Multi-device jit is safe: the kernel carries a custom_partitioning
+    rule over its (batch, head) grid (ops/train_attention.py), so GSPMD
+    shards it like any other op; shard_map paths run it per-device."""
     if cfg.attention_kernel not in _ATTENTION_KERNELS:
         raise ValueError(
             f'unknown attention_kernel {cfg.attention_kernel!r}; '

@@ -29,10 +29,11 @@ eval teacher-forced forward, and decode-side full-sequence legs that
 reach Attention.attend with no mask (the segmem memory encoder runs at
 L=1024 inside decode programs too). Per-step decode attention uses its
 own kernels (ops/decode.py, ops/fused_decode.py) and masked prefill
-calls stay on einsum. A pallas_call cannot be GSPMD-partitioned, so
-multi-device jit contexts pin attention_kernel='einsum' (Trainer, TP
-decode in InferenceHandler); the data-parallel decode path is safe —
-it enters through shard_map, where the kernel runs per device.
+calls stay on einsum. Multi-device jit contexts work: the kernel is
+embarrassingly parallel over (batch, head) and declares exactly that
+via custom_partitioning (see the GSPMD section below), so data-parallel
+training shards b, tensor-parallel attention shards h, and shardy
+force-replicates sequence/feature dims if they arrive sharded.
 """
 
 from __future__ import annotations
@@ -174,8 +175,8 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _fused_fwd(q, k, v, causal, kv_valid)[0]
 
 
-def _call_fwd(q, k, v, causal: bool, kv_valid: int):
-    """q/k/v here are ALREADY (B, H, L, D)."""
+def _call_fwd_local(q, k, v, causal: bool, kv_valid: int):
+    """q/k/v here are ALREADY (B, H, L, D) — device-local shapes."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     kernel = functools.partial(_fwd_kernel, causal=causal,
@@ -192,6 +193,101 @@ def _call_fwd(q, k, v, causal: bool, kv_valid: int):
             dimension_semantics=('parallel', 'parallel')),
         interpret=not on_tpu(),
     )(q, k, v)
+
+
+def _call_bwd_local(q, k, v, do, causal: bool, kv_valid: int):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    kernel = functools.partial(_bwd_kernel, causal=causal,
+                               kv_valid=kv_valid)
+    bb = _pick_block_b(b, lq, lk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, h),
+        in_specs=[_bh_spec(bb, lq, d), _bh_spec(bb, lk, d),
+                  _bh_spec(bb, lk, d), _bh_spec(bb, lq, d)],
+        out_specs=[_bh_spec(bb, lq, d), _bh_spec(bb, lk, d),
+                   _bh_spec(bb, lk, d)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, lk, d), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel')),
+        interpret=not on_tpu(),
+    )(q, k, v, do)
+
+
+# ---- GSPMD partitioning -------------------------------------------------
+#
+# A pallas_call has no SPMD partitioning rule, so under jit over a
+# multi-device mesh the kernel would fail to partition. The grid is
+# embarrassingly parallel over (batch, head), so custom_partitioning
+# declares exactly that: b and h factors propagate (data-parallel
+# training shards b; tensor-parallel attention shards h), while the
+# l/k/d factors are marked need-replication — shardy inserts the
+# all-gathers if an operand arrives sequence- or feature-sharded.
+# Each shard then runs the local kernel on its slice.
+
+def _bh_sharding(mesh, spec):
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+    spec = tuple(spec) + (None,) * (4 - len(tuple(spec)))
+    return NamedSharding(mesh, P(spec[0], spec[1], None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(causal: bool, kv_valid: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _bh_sharding(mesh, arg_shapes[0].sharding.spec)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(mesh, arg_shapes[0].sharding.spec)
+
+        def lower(q, k, v):
+            return _call_fwd_local(q, k, v, causal, kv_valid)
+
+        return mesh, lower, sh, (sh, sh, sh)
+
+    cp = custom_partitioning(
+        lambda q, k, v: _call_fwd_local(q, k, v, causal, kv_valid))
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule='b h l d, b h k d, b h k d -> b h l d',
+        # factor indices must be listed in order of first appearance
+        need_replication_factors=('l', 'd', 'k'))
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(causal: bool, kv_valid: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(mesh, arg_shapes[0].sharding.spec)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(mesh, arg_shapes[0].sharding.spec)
+
+        def lower(q, k, v, do):
+            return _call_bwd_local(q, k, v, do, causal, kv_valid)
+
+        return mesh, lower, (sh, sh, sh), (sh, sh, sh, sh)
+
+    cp = custom_partitioning(
+        lambda q, k, v, do: _call_bwd_local(q, k, v, do, causal, kv_valid))
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule=('b h l d, b h k d, b h k d, b h l d '
+                       '-> b h l d, b h k d, b h k d'),
+        need_replication_factors=('l', 'd', 'k'))
+    return cp
+
+
+def _call_fwd(q, k, v, causal: bool, kv_valid: int):
+    return _partitioned_fwd(causal, kv_valid)(q, k, v)
 
 
 def _fused_fwd(q, k, v, causal: bool, kv_valid: Optional[int]):
@@ -211,22 +307,7 @@ def _fused_bwd(causal: bool, kv_valid: Optional[int], res, do):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     do = do.transpose(0, 2, 1, 3)
-    kernel = functools.partial(_bwd_kernel, causal=causal, kv_valid=valid)
-    bb = _pick_block_b(b, lq, lk)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid=(b // bb, h),
-        in_specs=[_bh_spec(bb, lq, d), _bh_spec(bb, lk, d),
-                  _bh_spec(bb, lk, d), _bh_spec(bb, lq, d)],
-        out_specs=[_bh_spec(bb, lq, d), _bh_spec(bb, lk, d),
-                   _bh_spec(bb, lk, d)],
-        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, d), v.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel')),
-        interpret=not on_tpu(),
-    )(q, k, v, do)
+    dq, dk, dv = _partitioned_bwd(causal, valid)(q, k, v, do)
     dq = dq.transpose(0, 2, 1, 3)
     dk = dk.transpose(0, 2, 1, 3)
     dv = dv.transpose(0, 2, 1, 3)

@@ -285,16 +285,6 @@ class Trainer:
         # with the dataset's configuration
         sc = spectrogram_config or SpectrogramConfig()
 
-        # a pallas_call cannot be auto-partitioned by GSPMD: when the
-        # train step jits over a multi-device mesh, the fused training
-        # attention kernel must not resolve on (models/mt3.py
-        # _resolve_attention_kernel). Single-device meshes keep it — the
-        # benchmarked 33% MFU case (PERF.md round-4).
-        if self.mesh.devices.size > 1 and \
-                model.cfg.attention_kernel == 'auto':
-            model = MT3(model.cfg.replace(attention_kernel='einsum'))
-            self.model = model
-
         self.train_step = make_train_step(model, optimizer,
                                           loss_type=loss_type,
                                           spectrogram_config=sc,

@@ -403,10 +403,12 @@ class TestMeshHandler:
                              max_length=8, quantize='fused',
                              mesh=tp_mesh)
 
-    def test_tensor_parallel_pins_attention_kernel_einsum(self):
-        """'auto' would resolve the fused Pallas training-attention
-        kernel on TPU bf16, which jit+GSPMD cannot partition — the TP
-        handler must pin it to einsum."""
+    def test_tensor_parallel_keeps_attention_kernel_config(self):
+        """The fused full-sequence attention kernel carries a
+        custom_partitioning rule (ops/train_attention.py), so the TP
+        handler must NOT rewrite the model's attention_kernel — 'auto'
+        stays 'auto' (the GSPMD-sharded-kernel behavior itself is pinned
+        by test_train.py's multichip fused training test)."""
         from mr_mt3_tpu.parallel import make_mesh
         cfg = SMALL.replace(dtype='bfloat16')
         model = MT3(cfg)
@@ -417,7 +419,8 @@ class TestMeshHandler:
         tp_mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
         tp = InferenceHandler(model=model, variables=variables,
                               max_length=8, mesh=tp_mesh)
-        assert tp.cfg.attention_kernel == 'einsum'
+        assert tp.cfg.attention_kernel == 'auto'
+        assert tp.model is model
 
     def test_segmem_chain_length_indivisible_by_mesh(self):
         """Chain length (batch_size) NOT divisible by the data axis must

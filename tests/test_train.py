@@ -203,19 +203,31 @@ class TestTrainStep:
 
 
 class TestTrainerLoop:
-    def test_multichip_mesh_pins_attention_kernel_einsum(self, tmp_path):
-        """jit+GSPMD cannot partition the fused Pallas training-attention
-        kernel: a Trainer over a multi-device mesh must rebuild the model
-        with attention_kernel='einsum' (single-device meshes keep 'auto'
-        — the benchmarked TPU fast path)."""
-        optimizer = make_optimizer(1e-3, use_schedule=False)
-        model = MT3(TINY.replace(dtype='bfloat16'))
-        multi = Trainer(model, optimizer, out_dir=str(tmp_path / 'a'),
-                        mesh=make_mesh(data=8, model=1))
-        assert multi.model.cfg.attention_kernel == 'einsum'
-        single = Trainer(model, optimizer, out_dir=str(tmp_path / 'b'),
-                         mesh=make_mesh(data=1, model=1))
-        assert single.model.cfg.attention_kernel == 'auto'
+    def test_fused_attention_trains_over_multichip_mesh(self, tmp_path):
+        """The fused training-attention kernel carries a
+        custom_partitioning rule, so a Trainer over a multi-device mesh
+        with attention_kernel='fused' (forced — CPU 'auto' resolves
+        einsum) must run a sharded step and match the einsum loss."""
+        losses = {}
+        for kernel in ('einsum', 'fused'):
+            optimizer = make_optimizer(1e-3, use_schedule=False)
+            model = MT3(TINY.replace(dtype='bfloat16',
+                                     attention_kernel=kernel))
+            trainer = Trainer(model, optimizer,
+                              out_dir=str(tmp_path / kernel),
+                              mesh=make_mesh(data=8, model=1))
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 512)),
+                decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+            state = create_train_state(variables['params'], optimizer)
+            batch = _tiny_batch(np.random.default_rng(3), rows=8)
+            sharded = shard_batch(batch, trainer.mesh)
+            state, metrics = trainer.train_step(state, sharded,
+                                                trainer.rng)
+            losses[kernel] = float(metrics['loss'])
+        assert np.isfinite(losses['fused'])
+        assert losses['fused'] == pytest.approx(losses['einsum'],
+                                                rel=0.02)
 
     def test_fit_with_val_and_checkpoints(self, tmp_path):
         model = MT3(TINY)
