@@ -49,7 +49,7 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int):
 
 
 def run_model(name, model, train_root, heldout_root, tmp, max_steps,
-              songs_per_batch=12, rows_per_song=8):
+              songs_per_batch=12, rows_per_song=8, lr=4e-4):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +89,11 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                            jnp.zeros((1, 256, 512)),
                            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
                            **init_kwargs)
-    optimizer = make_optimizer(1e-3, warmup_steps=1000,
+    # peak LR matters: 1e-3 DIVERGES on non-memorizable data at B=96
+    # (train loss bottomed ~2.5 at step ~1.5k then rose to 3.2 on the
+    # 6144-song corpus — mirrors round-3's "8e-4 constant diverges");
+    # 4e-4 with warmup+cosine is stable (reference trains at 2e-4)
+    optimizer = make_optimizer(lr, warmup_steps=1000,
                                total_steps=max_steps, min_lr=0.02,
                                use_schedule=True, weight_decay=0.0)
     state = create_train_state(variables['params'], optimizer)
@@ -195,6 +199,7 @@ def main():
     ap.add_argument('--steps', type=int, default=12000)
     ap.add_argument('--songs', type=int, default=96)
     ap.add_argument('--heldout', type=int, default=8)
+    ap.add_argument('--lr', type=float, default=4e-4)
     ap.add_argument('--models', nargs='*',
                     default=['vanilla', 'withprev'])
     args = ap.parse_args()
@@ -215,7 +220,7 @@ def main():
                             segmem_variant='encoder_append',
                             segmem_length=64)
         run_model(name, MT3(cfg), train_root, heldout_root, tmp,
-                  max_steps=args.steps)
+                  max_steps=args.steps, lr=args.lr)
 
 
 if __name__ == '__main__':
