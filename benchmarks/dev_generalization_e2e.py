@@ -49,7 +49,8 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int):
 
 
 def run_model(name, model, train_root, heldout_root, tmp, max_steps,
-              songs_per_batch=12, rows_per_song=8, lr=4e-4):
+              songs_per_batch=12, rows_per_song=8, lr=4e-4,
+              min_steps=6000):
     import jax
     import jax.numpy as jnp
 
@@ -129,10 +130,14 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
             print(f'  [{name}] epoch {epoch + 1}/{num_epochs} '
                   f'step {int(state.step)} val_loss {vl:.4f} '
                   f'({time.time() - t0:.0f}s){marker}', flush=True)
-            # stop when the last 4 val points show no 2% improvement
+            # stop when the last 4 val points show no 1% improvement
             # over the best before them (overfit guard included: a
-            # worsening tail also trips this)
-            if len(history) >= 6 and min(history[-4:]) > 0.98 * min(
+            # worsening tail also trips this) — but never before
+            # min_steps: transcription learning curves improve slowly
+            # and early val plateaus are routine (first runs stopped at
+            # ~3.5k steps with the model still improving)
+            if int(state.step) >= min_steps and \
+                    len(history) >= 6 and min(history[-4:]) > 0.99 * min(
                     history[:-4]):
                 print(f'  [{name}] val plateau — stopping', flush=True)
                 break
@@ -200,6 +205,7 @@ def main():
     ap.add_argument('--songs', type=int, default=96)
     ap.add_argument('--heldout', type=int, default=8)
     ap.add_argument('--lr', type=float, default=4e-4)
+    ap.add_argument('--min-steps', type=int, default=6000)
     ap.add_argument('--models', nargs='*',
                     default=['vanilla', 'withprev'])
     args = ap.parse_args()
@@ -220,7 +226,8 @@ def main():
                             segmem_variant='encoder_append',
                             segmem_length=64)
         run_model(name, MT3(cfg), train_root, heldout_root, tmp,
-                  max_steps=args.steps, lr=args.lr)
+                  max_steps=args.steps, lr=args.lr,
+                  min_steps=args.min_steps)
 
 
 if __name__ == '__main__':

@@ -6,9 +6,13 @@ ladder's tier question "does a CONVERGED checkpoint keep int4 margins?"
 can't be answered on overfit weights). This generates a corpus large
 enough to force generalization:
 
-  * many songs (train/held-out split), each multi-stem from a bank of
+  * many songs (train/held-out split), each 1-2 stems from a bank of
     additive-synthesis instruments with distinct harmonic profiles
-    (so program tokens carry real signal);
+    (so program tokens carry real signal). Density is calibrated so a
+    46M model converges within a ~15k-step single-chip budget: a first
+    3-stem/denser variant left the model at F1 0.09 after its val
+    plateau — transcription learning curves need either far more steps
+    or an easier mixture;
   * melodies are random walks on diatonic scales with varied durations,
     including sustains crossing the 2.048 s segment boundary -- the
     regime segmem's cross-segment memory exists for (reference:
@@ -72,7 +76,7 @@ def synth_note(pitch: int, dur: float, harmonics, decay: float,
 
 def make_song(rng: np.random.Generator,
               duration: float = 8.0 * SEGMENT_SECONDS,
-              n_stems: Tuple[int, int] = (2, 3),
+              n_stems: Tuple[int, int] = (1, 2),
               ) -> Tuple[np.ndarray, Dict[str, dict]]:
     """One multi-stem song.
 
@@ -105,13 +109,13 @@ def make_song(rng: np.random.Generator,
             else:
                 dur = float(rng.uniform(0.15, 0.8))
             dur = min(dur, duration - t - 0.05)
-            vel = float(rng.uniform(0.25, 0.5))
+            vel = float(rng.uniform(0.35, 0.65))
             i0 = int(t * SR)
             wave = synth_note(pitch, dur, harmonics, decay, vel)
             mix[i0:i0 + len(wave)] += wave[:total - i0]
             notes.append((round(t, 4), round(t + dur, 4), pitch,
                           int(40 + 87 * vel)))
-            t += dur * float(rng.uniform(0.35, 1.1)) + 0.05
+            t += dur * float(rng.uniform(0.6, 1.5)) + 0.1
         stems[f'S{si:02d}'] = {'inst': name, 'notes': notes}
     peak = np.abs(mix).max()
     if peak > 0.95:
