@@ -36,6 +36,15 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int):
     from benchmarks.synth_corpus import write_corpus
     train_root = os.path.join(tmp, 'train')
     heldout_root = os.path.join(tmp, 'heldout')
+    # reuse a corpus already rendered into this workdir (legs run as
+    # separate processes; song count must match)
+    if (os.path.isdir(train_root) and
+            len(os.listdir(train_root)) == n_train and
+            os.path.isdir(heldout_root) and
+            len(os.listdir(heldout_root)) == n_heldout):
+        print(f'corpora: reusing {n_train}+{n_heldout} songs in {tmp}',
+              flush=True)
+        return train_root, heldout_root
     t0 = time.time()
     write_corpus(train_root, n_train, seed=100)
     write_corpus(heldout_root, n_heldout, seed=900)
@@ -90,13 +99,16 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                            jnp.zeros((1, 256, 512)),
                            decoder_input_ids=jnp.zeros((1, 4), jnp.int32),
                            **init_kwargs)
-    # peak LR matters: 1e-3 DIVERGES on non-memorizable data at B=96
-    # (train loss bottomed ~2.5 at step ~1.5k then rose to 3.2 on the
-    # 6144-song corpus — mirrors round-3's "8e-4 constant diverges");
-    # 4e-4 with warmup+cosine is stable (reference trains at 2e-4)
+    # peak LR matters: 1e-3 DIVERGES on non-memorizable data at B=96,
+    # and 4e-4 WITHOUT gradient clipping showed the same signature one
+    # notch later (train loss fell smoothly to 2.45 by step 1.6k, one
+    # gradient spike at ~1.7k threw it to 3.0+ and AdamW never
+    # recovered — metrics.jsonl of the 6144-song run). Global-norm
+    # clip 1.0 is the fix; reference trains at 2e-4 and never hits it.
     optimizer = make_optimizer(lr, warmup_steps=1000,
                                total_steps=max_steps, min_lr=0.02,
-                               use_schedule=True, weight_decay=0.0)
+                               use_schedule=True, weight_decay=0.0,
+                               clip_norm=1.0)
     state = create_train_state(variables['params'], optimizer)
     # epochs here are ~8 steps; per-epoch Orbax 'last' saves would swamp
     # the step time, so checkpointing is manual (one save at the end)
@@ -208,13 +220,21 @@ def main():
     ap.add_argument('--min-steps', type=int, default=6000)
     ap.add_argument('--models', nargs='*',
                     default=['vanilla', 'withprev'])
+    ap.add_argument('--workdir', default=None,
+                    help='reuse/create this workdir instead of a fresh '
+                         'tempdir (lets legs run as separate processes '
+                         'against one corpus)')
     args = ap.parse_args()
 
     from mr_mt3_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
 
-    tmp = tempfile.mkdtemp(prefix='gen_e2e_')
+    if args.workdir:
+        tmp = args.workdir
+        os.makedirs(tmp, exist_ok=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix='gen_e2e_')
     print('workdir:', tmp, flush=True)
     train_root, heldout_root = build_corpora(tmp, args.songs, args.heldout)
 

@@ -71,6 +71,7 @@ def make_optimizer(
     eps: float = 1e-8,
     use_schedule: bool = True,
     schedule=None,
+    clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (wd applied to every parameter, as
     torch AdamW does with a single param group — reference tasks use
@@ -78,7 +79,15 @@ def make_optimizer(
 
     schedule: pass a prebuilt LR schedule to use verbatim (callers that
     also need the schedule for logging build it once instead of keeping
-    a second copy in sync with the construction here)."""
+    a second copy in sync with the construction here).
+
+    clip_norm: optional global-gradient-norm clip applied BEFORE Adam.
+    The reference (Lightning default) does not clip, so the default here
+    is None for curve parity — but from-scratch training at peak LRs
+    above the reference's 2e-4 measurably needs it: without clipping, a
+    single gradient spike at step ~1.7k threw a 46M run into a loss
+    plateau it never recovered from (train 2.45 -> 3.2; see PERF.md
+    generalization section)."""
     if schedule is not None:
         pass
     elif use_schedule:
@@ -90,5 +99,8 @@ def make_optimizer(
         # the FineTune task: plain AdamW, constant LR
         # (reference: tasks/mt3_net_segmem_v2_with_prev_finetune.py:14-19)
         schedule = lr
-    return optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=eps,
-                       weight_decay=weight_decay)
+    adamw = optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=eps,
+                        weight_decay=weight_decay)
+    if clip_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(clip_norm), adamw)
+    return adamw

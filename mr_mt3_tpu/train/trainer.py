@@ -143,7 +143,8 @@ def make_train_step(model: MT3, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {'loss': loss, **logs}
+        metrics = {'loss': loss,
+                   'grad_norm': optax.global_norm(grads), **logs}
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 

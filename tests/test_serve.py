@@ -222,8 +222,10 @@ class TestMicroBatcher:
             target=batcher.transcribe, args=(np.zeros(10, np.float32),))
             for _ in range(4)]
         threads[0].start()
-        while not calls:  # wait until the worker holds request 0
-            time.sleep(0.005)
+        deadline = time.time() + 5
+        while not calls and time.time() < deadline:
+            time.sleep(0.005)  # wait until the worker holds request 0
+        assert calls, 'worker thread never picked up request 0'
         for t in threads[1:]:
             t.start()
         # requests 1-3 are all enqueued before the device frees

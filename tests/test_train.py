@@ -9,6 +9,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from mr_mt3_tpu.models import MT3, MT3Config
 from mr_mt3_tpu.parallel import make_mesh, param_shardings, shard_batch
@@ -139,6 +140,41 @@ class TestTrainStep:
                 first = float(metrics['loss'])
         last = float(metrics['loss'])
         assert last < first * 0.5, (first, last)
+
+    def test_clip_norm_bounds_update_and_logs_grad_norm(self):
+        """clip_norm=tiny must shrink the applied update vs unclipped,
+        and the step must log the PRE-clip global gradient norm (the
+        diagnostic that caught the step-1.7k spike divergence — see
+        optim.make_optimizer docstring)."""
+        model = MT3(TINY)
+        rng = np.random.default_rng(5)
+        batch = _tiny_batch(rng)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4), jnp.int32))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        # host copy: the train step donates its input state, whose params
+        # alias variables['params'] — after the call those buffers are
+        # deleted, so the reference point must live on the host
+        params0 = jax.tree.map(np.asarray, variables['params'])
+        deltas = {}
+        for name, clip in (('unclipped', None), ('clipped', 1e-4)):
+            optimizer = make_optimizer(1e-3, use_schedule=False,
+                                       weight_decay=0.0, clip_norm=clip)
+            state = create_train_state(
+                jax.tree.map(jnp.asarray, params0), optimizer)
+            step = make_train_step(model, optimizer)
+            new_state, metrics = step(state, jb, jax.random.PRNGKey(1))
+            gnorm = float(metrics['grad_norm'])
+            assert np.isfinite(gnorm) and gnorm > 0
+            deltas[name] = float(optax.global_norm(jax.tree.map(
+                lambda a, b: a - jnp.asarray(b), new_state.params, params0)))
+        # with clip far below the actual grad norm, Adam's normalized
+        # update direction changes little but the very first-step update
+        # magnitude must not exceed the unclipped one; the sharper check
+        # is that grad_norm reports the raw (pre-clip) norm >> clip
+        assert deltas['clipped'] <= deltas['unclipped'] * 1.001
+        assert gnorm > 1e-4 * 10  # logged norm is pre-clip
 
     def test_segmem_model_train_step(self):
         cfg = TINY.replace(segmem_variant='encoder_append', segmem_length=8)
