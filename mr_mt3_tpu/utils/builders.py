@@ -55,6 +55,12 @@ def build_optimizer(cfg: ConfigNode):
     optim = cfg.optim
     use_schedule = bool(task.get('use_scheduler', True))
     total_steps = int(optim.num_steps_per_epoch) * int(optim.num_epochs)
+    # optional global-norm gradient clip (`optim.clip_norm: 1.0`). Not a
+    # reference config key (Lightning default = no clipping) so it
+    # defaults off; from-scratch runs at peak LR > 2e-4 need it — see
+    # make_optimizer's docstring for the measured divergence it guards.
+    clip_norm = optim.get('clip_norm')
+    clip_norm = None if clip_norm is None else float(clip_norm)
     if use_schedule:
         from mr_mt3_tpu.train.optim import cosine_schedule_with_warmup
         # built ONCE and passed into the optimizer: the same callable is
@@ -64,9 +70,11 @@ def build_optimizer(cfg: ConfigNode):
             float(optim.lr), int(optim.warmup_steps or 0), total_steps,
             min_lr_multiplier=float(optim.min_lr or 0.0))
         optimizer = make_optimizer(
-            lr=float(optim.lr), use_schedule=True, schedule=schedule)
+            lr=float(optim.lr), use_schedule=True, schedule=schedule,
+            clip_norm=clip_norm)
     else:
-        optimizer = make_optimizer(lr=float(optim.lr), use_schedule=False)
+        optimizer = make_optimizer(lr=float(optim.lr), use_schedule=False,
+                                   clip_norm=clip_norm)
         schedule = None
 
     grad_accum = int(cfg.get('grad_accum') or 1)

@@ -150,6 +150,34 @@ class TestBuildOptimizer:
         # no warmup: the schedule starts at full base LR (cosine at 0)
         assert float(schedule(0)) == pytest.approx(float(cfg.optim.lr))
 
+    def test_clip_norm_override_clips_updates(self):
+        """`+optim.clip_norm=...` from the CLI must actually wire a
+        global-norm clip into the optimizer (divergence guard — see
+        optim.make_optimizer)."""
+        import jax.numpy as jnp
+
+        from mr_mt3_tpu.utils import builders
+        cfg = load_config(CONFIG_DIR, 'config', overrides=TINY_OVERRIDES + [
+            '+optim.clip_norm=1e-6', 'optim.warmup_steps=0'])
+        optimizer, _ = builders.build_optimizer(cfg)
+        params = {'w': jnp.ones((4,))}
+        opt_state = optimizer.init(params)
+        big_grads = {'w': jnp.full((4,), 1e3)}
+        updates, _ = optimizer.update(big_grads, opt_state, params)
+        # with clip 1e-6 the gradient is scaled to ~0 before Adam's
+        # normalization, so the update (eps-dominated) is far below the
+        # unclipped Adam step size (~lr)
+        assert float(jnp.abs(updates['w']).max()) < float(cfg.optim.lr)
+
+        cfg_off = load_config(CONFIG_DIR, 'config',
+                              overrides=TINY_OVERRIDES + [
+                                  'optim.warmup_steps=0'])
+        opt_off, _ = builders.build_optimizer(cfg_off)
+        updates_off, _ = opt_off.update(big_grads, opt_off.init(params),
+                                        params)
+        assert float(jnp.abs(updates_off['w']).max()) > \
+            float(jnp.abs(updates['w']).max())
+
 
 class TestStrictWeightLoad:
     def test_unexpected_keys_rejected(self):
