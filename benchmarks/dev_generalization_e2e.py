@@ -32,7 +32,8 @@ sys.path.insert(0, '.')
 import numpy as np
 
 
-def build_corpora(tmp: str, n_train: int, n_heldout: int):
+def build_corpora(tmp: str, n_train: int, n_heldout: int,
+                  preset: str = 'standard'):
     from benchmarks.synth_corpus import write_corpus
     train_root = os.path.join(tmp, 'train')
     heldout_root = os.path.join(tmp, 'heldout')
@@ -46,8 +47,8 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int):
               flush=True)
         return train_root, heldout_root
     t0 = time.time()
-    write_corpus(train_root, n_train, seed=100)
-    write_corpus(heldout_root, n_heldout, seed=900)
+    write_corpus(train_root, n_train, seed=100, preset=preset)
+    write_corpus(heldout_root, n_heldout, seed=900, preset=preset)
     print(f'corpora: {n_train} train + {n_heldout} heldout songs '
           f'({time.time() - t0:.0f}s)', flush=True)
     from mr_mt3_tpu.scripts.merge_slakh_midi import merge_song_midis
@@ -220,6 +221,9 @@ def main():
     ap.add_argument('--min-steps', type=int, default=6000)
     ap.add_argument('--models', nargs='*',
                     default=['vanilla', 'withprev'])
+    ap.add_argument('--preset', default='standard',
+                    choices=('standard', 'easy'),
+                    help='corpus difficulty (synth_corpus.PRESETS)')
     ap.add_argument('--workdir', default=None,
                     help='reuse/create this workdir instead of a fresh '
                          'tempdir (lets legs run as separate processes '
@@ -236,7 +240,8 @@ def main():
     else:
         tmp = tempfile.mkdtemp(prefix='gen_e2e_')
     print('workdir:', tmp, flush=True)
-    train_root, heldout_root = build_corpora(tmp, args.songs, args.heldout)
+    train_root, heldout_root = build_corpora(
+        tmp, args.songs, args.heldout, preset=args.preset)
 
     for name in args.models:
         if name == 'vanilla':

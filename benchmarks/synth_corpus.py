@@ -74,9 +74,24 @@ def synth_note(pitch: int, dur: float, harmonics, decay: float,
     return (velocity * env * out).astype(np.float32)
 
 
+# difficulty presets: 'standard' is the generalization corpus; 'easy'
+# slows the note rate, lengthens notes and restricts to two registrally
+# separated instruments so a 46M model can MASTER it inside a ~10k-step
+# single-chip budget — used to measure quantize-tier margins on a
+# confident converged checkpoint (a budget-limited checkpoint on the
+# standard corpus has razor-thin margins by construction)
+PRESETS = {
+    'standard': dict(insts=None, short_dur=(0.15, 0.8), gap=(0.6, 1.5),
+                     walk=3),
+    'easy': dict(insts=('Acoustic Piano', 'Acoustic Bass'),
+                 short_dur=(0.3, 1.0), gap=(1.1, 1.9), walk=2),
+}
+
+
 def make_song(rng: np.random.Generator,
               duration: float = 8.0 * SEGMENT_SECONDS,
               n_stems: Tuple[int, int] = (1, 2),
+              preset: str = 'standard',
               ) -> Tuple[np.ndarray, Dict[str, dict]]:
     """One multi-stem song.
 
@@ -85,9 +100,10 @@ def make_song(rng: np.random.Generator,
     Long notes (up to ~1.5 segments) are drawn with probability 0.15 so
     sustained-across-boundary ties appear in every song.
     """
-    names = list(INSTRUMENTS)
+    p = PRESETS[preset]
+    names = list(p['insts'] or INSTRUMENTS)
     # inclusive range: (2, 3) means 2 or 3 stems
-    n = int(rng.integers(n_stems[0], n_stems[1] + 1))
+    n = min(int(rng.integers(n_stems[0], n_stems[1] + 1)), len(names))
     chosen = rng.choice(len(names), size=n, replace=False)
     root = int(rng.integers(0, 12))
     total = int(duration * SR)
@@ -101,13 +117,13 @@ def make_song(rng: np.random.Generator,
         t = float(rng.uniform(0.05, 0.6))
         notes = []
         while t < duration - 0.3:
-            pos = int(np.clip(pos + rng.integers(-3, 4), 0,
-                              len(pitches) - 1))
+            pos = int(np.clip(pos + rng.integers(-p['walk'], p['walk'] + 1),
+                              0, len(pitches) - 1))
             pitch = int(pitches[pos])
             if rng.random() < 0.15:
                 dur = float(rng.uniform(1.8, 3.2))  # crosses a boundary
             else:
-                dur = float(rng.uniform(0.15, 0.8))
+                dur = float(rng.uniform(*p['short_dur']))
             dur = min(dur, duration - t - 0.05)
             vel = float(rng.uniform(0.35, 0.65))
             i0 = int(t * SR)
@@ -115,7 +131,7 @@ def make_song(rng: np.random.Generator,
             mix[i0:i0 + len(wave)] += wave[:total - i0]
             notes.append((round(t, 4), round(t + dur, 4), pitch,
                           int(40 + 87 * vel)))
-            t += dur * float(rng.uniform(0.6, 1.5)) + 0.1
+            t += dur * float(rng.uniform(*p['gap'])) + 0.1
         stems[f'S{si:02d}'] = {'inst': name, 'notes': notes}
     peak = np.abs(mix).max()
     if peak > 0.95:
@@ -124,7 +140,8 @@ def make_song(rng: np.random.Generator,
 
 
 def write_corpus(root_dir: str, n_songs: int, seed: int,
-                 duration_segments: int = 8) -> List[str]:
+                 duration_segments: int = 8,
+                 preset: str = 'standard') -> List[str]:
     """Render n_songs under root_dir in the Slakh on-disk layout."""
     from mr_mt3_tpu.audio import write_wav
     from mr_mt3_tpu.codec import note_sequences as nsq
@@ -136,7 +153,8 @@ def write_corpus(root_dir: str, n_songs: int, seed: int,
         d = os.path.join(root_dir, f'Track{i + 1:05d}')
         os.makedirs(os.path.join(d, 'MIDI'), exist_ok=True)
         mix, stems = make_song(
-            rng, duration=duration_segments * SEGMENT_SECONDS)
+            rng, duration=duration_segments * SEGMENT_SECONDS,
+            preset=preset)
         write_wav(os.path.join(d, 'mix_16k.wav'), mix, SR)
         inst_names = {}
         for stem_id, stem in stems.items():
