@@ -54,6 +54,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    from mr_mt3_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
 
     import orbax.checkpoint as ocp
 
