@@ -60,7 +60,7 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int,
 
 def run_model(name, model, train_root, heldout_root, tmp, max_steps,
               songs_per_batch=12, rows_per_song=8, lr=4e-4,
-              min_steps=6000):
+              min_steps=6000, with_tier=True):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,9 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     # gradient spike at ~1.7k threw it to 3.0+ and AdamW never
     # recovered — metrics.jsonl of the 6144-song run). Global-norm
     # clip 1.0 is the fix; reference trains at 2e-4 and never hits it.
-    optimizer = make_optimizer(lr, warmup_steps=1000,
+    # warmup scales down for short comparison legs (a fixed 1000-step
+    # warmup would spend half of a 2000-step budget ramping)
+    optimizer = make_optimizer(lr, warmup_steps=min(1000, max_steps // 5),
                                total_steps=max_steps, min_lr=0.02,
                                use_schedule=True, weight_decay=0.0,
                                clip_norm=1.0)
@@ -188,13 +190,28 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                        scores.get('Onset + program F1', 0.0)), 4)
     print(json.dumps(results), flush=True)
 
-    # ---- which tier does this converged checkpoint keep? ----
+    if not with_tier:
+        return results, None
+    tier = run_tier(name, model, state.params, heldout_files,
+                    heldout_root, tmp,
+                    exact_f1=results['heldout_onset_f1'])
+    return results, tier
+
+
+def run_tier(name, model, params, heldout_files, heldout_root, tmp,
+             exact_f1=None):
+    """Probe-ladder walk + resolved-tier F1 for a trained checkpoint.
+
+    Split out of run_model so the (compile-heavy) tier evaluation can
+    run as its own process against a checkpoint saved by an earlier
+    training leg (--tier-only)."""
     from mr_mt3_tpu.infer import InferenceHandler
     from mr_mt3_tpu.infer.probe import resolve_auto_quantize
+    from mr_mt3_tpu.infer.scores import get_scores
     handler = InferenceHandler(
-        model=model, variables={'params': state.params},
+        model=model, variables={'params': params},
         max_length=1024, quantize='fused_int4',
-        contiguous_inference=cfg.has_segmem)
+        contiguous_inference=model.cfg.has_segmem)
     pinfo = resolve_auto_quantize(handler, verbose=True)
     tier_scores = get_scores(
         handler=handler, eval_audio_dir=heldout_files,
@@ -207,9 +224,9 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
             'demotions': pinfo.get('demotions', []),
             'tier_heldout_onset_f1': round(
                 tier_scores.get('Onset F1', 0.0), 4),
-            'exact_heldout_onset_f1': results['heldout_onset_f1']}
+            'exact_heldout_onset_f1': exact_f1}
     print(json.dumps(tier), flush=True)
-    return results, tier
+    return tier
 
 
 def main():
@@ -228,6 +245,12 @@ def main():
                     help='reuse/create this workdir instead of a fresh '
                          'tempdir (lets legs run as separate processes '
                          'against one corpus)')
+    ap.add_argument('--no-tier', action='store_true',
+                    help='skip the probe-ladder tier walk (run it later '
+                         'with --tier-only against the saved checkpoint)')
+    ap.add_argument('--tier-only', action='store_true',
+                    help='no training: load <workdir>/<model>/checkpoints/'
+                         'best and run just the tier walk + tier F1')
     args = ap.parse_args()
 
     from mr_mt3_tpu.utils.profiling import enable_compilation_cache
@@ -250,9 +273,21 @@ def main():
             cfg = MT3Config(dtype='bfloat16',
                             segmem_variant='encoder_append',
                             segmem_length=64)
+        if args.tier_only:
+            import orbax.checkpoint as ocp
+            path = os.path.join(tmp, name, 'checkpoints', 'best')
+            restored = ocp.StandardCheckpointer().restore(path)
+            print(f'[{name}] tier-only: restored step '
+                  f'{int(restored["step"])} from {path}', flush=True)
+            heldout_files = sorted(
+                glob.glob(os.path.join(heldout_root, '*', 'mix_16k.wav')))
+            run_tier(name, MT3(cfg), restored['params'], heldout_files,
+                     heldout_root, tmp)
+            continue
         run_model(name, MT3(cfg), train_root, heldout_root, tmp,
                   max_steps=args.steps, lr=args.lr,
-                  min_steps=args.min_steps)
+                  min_steps=args.min_steps,
+                  with_tier=not args.no_tier)
 
 
 if __name__ == '__main__':
