@@ -101,7 +101,8 @@ class InferenceHandler:
                  max_length: int = 1024,
                  segment_bucket: int = 32,
                  quantize: str = 'none',
-                 mesh=None):
+                 mesh=None,
+                 segmem_chain: bool = True):
         if model is None:
             model = MT3(MT3Config())
         if variables is None:
@@ -119,6 +120,11 @@ class InferenceHandler:
         self.cfg = model.cfg
         self.mel_norm = mel_norm
         self.contiguous_inference = contiguous_inference
+        # diagnostic ablation: False reseeds the segment memory every
+        # segment instead of chaining the previous segment's decode
+        # (ops/decode.segmem_greedy_decode chain_memory) — used by
+        # benchmarks/dev_segmem_ablation.py to isolate exposure bias
+        self.segmem_chain = segmem_chain
         self.batch_size = batch_size
         self.max_length = max_length
         self.segment_bucket = segment_bucket
@@ -377,13 +383,15 @@ class InferenceHandler:
             model, max_length = self.model, self.max_length
             codec, vocab = self.codec, self.vocab
             quantize = self.quantize
+            chain = self.segmem_chain
 
             def fn(variables, mel_segments, valid_mask):
                 return segmem_greedy_decode(model, variables, mel_segments,
                                             max_length,
                                             codec=codec, vocab=vocab,
                                             quantize=quantize,
-                                            valid_mask=valid_mask)
+                                            valid_mask=valid_mask,
+                                            chain_memory=chain)
             setattr(self, attr, jax.jit(fn) if attr == '_segmem_fn_local'
                     else self._shard_jit(fn))
         return getattr(self, attr)

@@ -182,7 +182,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                          initial_memory: Optional[jnp.ndarray] = None,
                          codec=None, vocab=None,
                          quantize: str = 'none',
-                         valid_mask: Optional[jnp.ndarray] = None
+                         valid_mask: Optional[jnp.ndarray] = None,
+                         chain_memory: bool = True,
                          ) -> jnp.ndarray:
     """Sequential segment-memory decode over one or more songs in lockstep.
 
@@ -191,6 +192,15 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     segment. Segment i's memory is segment i-1's decoded tokens (start token
     included, as in the reference where `decoder_tokens` begins with the
     start id — reference: models/t5_segmem_v2_with_prev.py:241-294).
+
+    chain_memory=False is a DIAGNOSTIC ablation (no reference analog):
+    every segment sees the initial seed memory instead of the previous
+    segment's decode, so the outputs are independent of segment order.
+    Comparing F1 with/without the chain isolates how much information the
+    carried memory contributes at decode time — distinguishing "the chain
+    propagates decode errors" (exposure bias: ablated >= chained) from
+    "the chain carries nothing" (ablated == chained exactly) and from a
+    carry defect.
     """
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
@@ -238,7 +248,7 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                                       valid_mask=valid_mask)
         # next memory = this segment's tokens incl. start id, cropped to
         # max_length (reference pads/crops to max_length)
-        mem_next = tokens[:, :max_length]
+        mem_next = tokens[:, :max_length] if chain_memory else mem_tokens
         return mem_next, tokens
 
     _, all_tokens = jax.lax.scan(seg_step, initial_memory, enc)

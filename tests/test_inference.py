@@ -218,6 +218,35 @@ class TestNonContiguousSegmemChain:
             max_length=h.max_length))[0]
         np.testing.assert_array_equal(got[2], solo[0])
 
+    def test_chain_ablation_reseeds_every_segment(self):
+        """chain_memory=False (the exposure-bias diagnostic) must make
+        every segment decode against the fresh seed: each row equals a
+        solo decode of that segment, regardless of position."""
+        from mr_mt3_tpu.ops.decode import segmem_greedy_decode
+        h = _segmem_handler(batch_size=2)
+        rng = np.random.default_rng(15)
+        mel = rng.normal(size=(3, 256, 512)).astype(np.float32) * 0.5
+        ablated = np.asarray(segmem_greedy_decode(
+            h.model, h.variables, jnp.asarray(mel[None]),
+            max_length=h.max_length, chain_memory=False))[0]
+        for i in range(3):
+            solo = np.asarray(segmem_greedy_decode(
+                h.model, h.variables, jnp.asarray(mel[i:i + 1][None]),
+                max_length=h.max_length))[0, 0]
+            np.testing.assert_array_equal(ablated[i], solo)
+
+    def test_handler_segmem_chain_flag(self):
+        """segmem_chain=False threads through the handler decode path."""
+        from mr_mt3_tpu.ops.decode import segmem_greedy_decode
+        h = _segmem_handler(batch_size=2, segmem_chain=False)
+        rng = np.random.default_rng(16)
+        mel = rng.normal(size=(2, 256, 512)).astype(np.float32) * 0.5
+        got = h._decode_all(mel)
+        expect = np.asarray(segmem_greedy_decode(
+            h.model, h.variables, jnp.asarray(mel[None]),
+            max_length=h.max_length, chain_memory=False))[0]
+        np.testing.assert_array_equal(got, expect)
+
     def test_transcribe_many_chains_per_song(self):
         """Chains never cross song boundaries in transcribe_many."""
         h = _segmem_handler(batch_size=2)
