@@ -284,10 +284,18 @@ def main():
             run_tier(name, MT3(cfg), restored['params'], heldout_files,
                      heldout_root, tmp)
             continue
-        run_model(name, MT3(cfg), train_root, heldout_root, tmp,
-                  max_steps=args.steps, lr=args.lr,
-                  min_steps=args.min_steps,
-                  with_tier=not args.no_tier)
+        # one leg's failure (the dev tunnel throws transient
+        # remote_compile errors) must not take down the legs after it
+        try:
+            run_model(name, MT3(cfg), train_root, heldout_root, tmp,
+                      max_steps=args.steps, lr=args.lr,
+                      min_steps=args.min_steps,
+                      with_tier=not args.no_tier)
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(json.dumps({'model': name, 'error': 'leg crashed'}),
+                  flush=True)
 
 
 if __name__ == '__main__':
