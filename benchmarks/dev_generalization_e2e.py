@@ -59,8 +59,8 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int,
 
 
 def run_model(name, model, train_root, heldout_root, tmp, max_steps,
-              songs_per_batch=12, rows_per_song=8, lr=4e-4,
-              min_steps=6000, with_tier=True):
+              songs_per_batch=96, rows_per_song=1, lr=4e-4,
+              min_steps=6000, with_tier=True, split_frames=2048):
     import jax
     import jax.numpy as jnp
 
@@ -80,10 +80,20 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     cfg = model.cfg
     ds_cls = (SlakhDatasetWithPrevSegmem if cfg.has_segmem
               else SlakhDataset)
-    # production shapes: event_length 1024 (bucketing trims per batch),
-    # randomized segment offsets per visit (the reference's augmentation)
+    # production shapes: event_length 1024 (bucketing trims per batch).
+    # split_frames MUST exceed mel_length (256): the sampling window needs
+    # slack for (a) the reference's random-offset augmentation and (b) the
+    # with-prev memory segment, which sits one mel_length BEFORE the chunk
+    # inside the same window (data/slakh.py::_chunk_with_prev). Rounds 3-4
+    # ran this driver with split_frame_length=256 == mel_length — zero
+    # slack, so every training item had prev=None and the memory model
+    # trained on the constant empty seed, never a real previous segment;
+    # chained decode then fed it real token memories it had never seen
+    # (heldout F1 0.30 vs vanilla 0.62, genrun_easy_r4.log). 2048 = one
+    # whole 8-segment synth song per window (~86% of chunks get a real
+    # prev, like the reference's 2000-frame windows on full Slakh songs).
     common = dict(num_rows_per_batch=rows_per_song, event_length=1024,
-                  split_frame_length=256)
+                  split_frame_length=split_frames)
     train_ds = ds_cls(train_root, shuffle=True, **common)
     val_ds = ds_cls(heldout_root, shuffle=False, is_deterministic=True,
                     is_randomize_tokens=False, **common)
@@ -236,6 +246,12 @@ def main():
     ap.add_argument('--heldout', type=int, default=8)
     ap.add_argument('--lr', type=float, default=4e-4)
     ap.add_argument('--min-steps', type=int, default=6000)
+    ap.add_argument('--split-frames', type=int, default=2048,
+                    help='sampling window in frames; must exceed 256 '
+                         'or with-prev training never sees a real '
+                         'previous segment (the round-3/4 bug)')
+    ap.add_argument('--songs-per-batch', type=int, default=96)
+    ap.add_argument('--rows-per-song', type=int, default=1)
     ap.add_argument('--models', nargs='*',
                     default=['vanilla', 'withprev'])
     ap.add_argument('--preset', default='standard',
@@ -290,7 +306,10 @@ def main():
             run_model(name, MT3(cfg), train_root, heldout_root, tmp,
                       max_steps=args.steps, lr=args.lr,
                       min_steps=args.min_steps,
-                      with_tier=not args.no_tier)
+                      with_tier=not args.no_tier,
+                      split_frames=args.split_frames,
+                      songs_per_batch=args.songs_per_batch,
+                      rows_per_song=args.rows_per_song)
         except Exception:
             import traceback
             traceback.print_exc()

@@ -331,7 +331,16 @@ class SlakhDatasetWithPrevSegmem(SlakhDataset):
         if slack < 1:
             return window, None
         if rng is None:
-            start = 16  # reference's deterministic pin
+            # Deterministic pin. The reference's own deterministic branch
+            # CRASHES here (start_length_prev is only assigned in the
+            # random branch — dataset_2_random_segmem_prev.py:142-147
+            # raises NameError at :152), so there is no reference behavior
+            # to match; we pin a start that yields a real previous segment
+            # whenever the window allows one, so deterministic eval
+            # exercises the memory path instead of always seeing the
+            # empty seed.
+            offset = self._prev_offset_segments(rng) * self.mel_length
+            start = offset + 16 if slack >= offset + 16 else 16
         else:
             start = int(rng.integers(0, slack + 1))
         prev_start = start - self._prev_offset_segments(rng) * self.mel_length
