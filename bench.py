@@ -26,7 +26,13 @@ models emit EOS far earlier, so real RTF is higher):
 
 All numbers are MEDIANS over `reps` runs with the (max-min)/median spread
 recorded, so rounds stay comparable across the shared TPU tunnel's ~15%
-run-to-run variance (PERF.md).
+run-to-run variance (PERF.md). Two volatility guards on top:
+  * any tier whose first sample shows >5% in-run spread is re-measured
+    once with double the reps (time_stats_stable);
+  * the output self-describes CROSS-DAY volatility: 'band' carries the
+    recorded round-over-round headline range (BENCH_r03/r04 int4 medians
+    199.2 / 179.7) so a single round's value is read against the tunnel
+    swing, not as a point estimate.
 
 Baseline: the reference's PyTorch-CPU decode (full decoder re-run per
 token, no KV cache — reference models/t5.py:267-295), measured on this
@@ -65,7 +71,10 @@ def main():
     enable_compilation_cache()
     from mr_mt3_tpu.models import MT3, MT3Config
     from mr_mt3_tpu.ops.decode import greedy_decode, segmem_greedy_decode
-    from mr_mt3_tpu.utils.bench_helpers import time_stats, zero_variables
+    from mr_mt3_tpu.utils.bench_helpers import (
+        time_stats_stable,
+        zero_variables,
+    )
 
     max_length = 1024
     rng = np.random.default_rng(0)
@@ -80,6 +89,7 @@ def main():
             'rtf_best': round(audio_seconds / stats['min'], 3),
             'spread': round(stats['spread'], 3),
             'reps': stats['reps'],
+            'total_reps': stats.get('total_reps', stats['reps']),
         }
 
     def measure_vanilla(batch, quantize, reps):
@@ -87,7 +97,7 @@ def main():
                                                 quantize=quantize))
         mel = jnp.asarray(
             rng.normal(size=(batch, 256, 512)).astype(np.float32))
-        stats = time_stats(fn, lambda: (variables, mel), reps=reps)
+        stats = time_stats_stable(fn, lambda: (variables, mel), reps=reps)
         return rtf_of(stats, batch * 256 * 128 / 16000)
 
     # ---- headline: fused megakernel, 8 groups-of-8 in one trace ----
@@ -141,7 +151,7 @@ def main():
             smodel, v, m, max_length, quantize=quantize))
         mel = jnp.asarray(
             rng.normal(size=(songs, segs, 256, 512)).astype(np.float32))
-        stats = time_stats(sfn, lambda: (svariables, mel), reps=reps)
+        stats = time_stats_stable(sfn, lambda: (svariables, mel), reps=reps)
         return rtf_of(stats, songs * segs * 256 * 128 / 16000)
 
     # Same tier ladder as the headline, but every rung guarded: a segmem
@@ -180,6 +190,13 @@ def main():
         'unit': f'audio-sec/sec/chip, median of {headline["reps"]} '
                 f'(1024-step greedy decode, {mode})',
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
+        # cross-DAY volatility: the shared tunnel swings round-over-round
+        # medians ~15% even when in-run spread is <2% (PERF.md); the
+        # recorded int4-headline medians from rounds 3-4 bound the band.
+        # Read any single round's value against this, not as a point.
+        'band': {'headline_prior_rounds': [179.7, 199.2],
+                 'source': 'BENCH_r03/BENCH_r04 int4 medians',
+                 'tunnel_swing': '~15% day-to-day (PERF.md)'},
         'extra': {
             'headline': headline,
             'fused_b8_latency': fused_b8,
