@@ -102,7 +102,8 @@ class InferenceHandler:
                  segment_bucket: int = 32,
                  quantize: str = 'none',
                  mesh=None,
-                 segmem_chain: bool = True):
+                 segmem_chain: bool = True,
+                 segmem_memory_format: str = 'reference'):
         if model is None:
             model = MT3(MT3Config())
         if variables is None:
@@ -125,6 +126,11 @@ class InferenceHandler:
         # (ops/decode.segmem_greedy_decode chain_memory) — used by
         # benchmarks/dev_segmem_ablation.py to isolate exposure bias
         self.segmem_chain = segmem_chain
+        # 'reference' keeps the leading start id in the carried memory
+        # (reference decode behavior, shifted one position vs training's
+        # targets_prev); 'train_aligned' drops it so decode memory matches
+        # the training distribution exactly (ops/decode.py memory_format)
+        self.segmem_memory_format = segmem_memory_format
         self.batch_size = batch_size
         self.max_length = max_length
         self.segment_bucket = segment_bucket
@@ -384,6 +390,7 @@ class InferenceHandler:
             codec, vocab = self.codec, self.vocab
             quantize = self.quantize
             chain = self.segmem_chain
+            memory_format = self.segmem_memory_format
 
             def fn(variables, mel_segments, valid_mask):
                 return segmem_greedy_decode(model, variables, mel_segments,
@@ -391,7 +398,8 @@ class InferenceHandler:
                                             codec=codec, vocab=vocab,
                                             quantize=quantize,
                                             valid_mask=valid_mask,
-                                            chain_memory=chain)
+                                            chain_memory=chain,
+                                            memory_format=memory_format)
             setattr(self, attr, jax.jit(fn) if attr == '_segmem_fn_local'
                     else self._shard_jit(fn))
         return getattr(self, attr)

@@ -184,6 +184,8 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
                          quantize: str = 'none',
                          valid_mask: Optional[jnp.ndarray] = None,
                          chain_memory: bool = True,
+                         memory_format: str = 'reference',
+                         oracle_memory: Optional[jnp.ndarray] = None,
                          ) -> jnp.ndarray:
     """Sequential segment-memory decode over one or more songs in lockstep.
 
@@ -201,7 +203,27 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
     propagates decode errors" (exposure bias: ablated >= chained) from
     "the chain carries nothing" (ablated == chained exactly) and from a
     carry defect.
+
+    memory_format selects the layout of the CARRIED memory tokens:
+      'reference'     — segment i-1's tokens INCLUDING the leading decoder
+                        start id (the reference's decode behavior, above);
+      'train_aligned' — the start id is dropped, so the memory looks
+                        exactly like training's targets_prev ([tok...,
+                        EOS, pad...] — reference feeds targets_prev with
+                        no start id at train time:
+                        models/t5_segmem_v2_with_prev.py:74,118-123).
+                        The reference thus shifts every memory token one
+                        position at decode relative to training — a
+                        train/decode distribution mismatch this knob
+                        isolates (benchmarks/dev_segmem_ablation.py).
+
+    oracle_memory (B, S, max_length) is a DIAGNOSTIC: segment i's memory
+    is taken from oracle_memory[:, i] verbatim (ground-truth prev-segment
+    tokens in whichever format the caller built), bypassing both the
+    chain and the seed — the exposure-bias upper bound.
     """
+    if memory_format not in ('reference', 'train_aligned'):
+        raise ValueError(f'unknown memory_format: {memory_format!r}')
     cfg = model.cfg
     b, s = mel_segments.shape[:2]
     if quantize not in ('none', 'int8', 'int8_kv', 'fused',
@@ -228,8 +250,12 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
         initial_memory = initial_segmem_tokens(cfg, b, max_length,
                                                codec=codec, vocab=vocab)
 
-    def seg_step(mem_tokens, enc_i):
-        segmem = model.apply(variables, mem_tokens,
+    def seg_step(mem_tokens, xs):
+        if oracle_memory is not None:
+            enc_i, mem_in = xs
+        else:
+            enc_i, mem_in = xs, mem_tokens
+        segmem = model.apply(variables, mem_in,
                              method=MT3.compute_segmem)  # (B, L_agg, D)
         if cfg.segmem_variant == 'encoder_append':
             enc_aug = jnp.concatenate([enc_i, segmem], axis=1)
@@ -246,12 +272,20 @@ def segmem_greedy_decode(model: MT3, variables, mel_segments: jnp.ndarray,
             tokens = greedy_loop_fast(cfg, dp, enc_i, max_length,
                                       quantize=quantize,
                                       valid_mask=valid_mask)
-        # next memory = this segment's tokens incl. start id, cropped to
-        # max_length (reference pads/crops to max_length)
-        mem_next = tokens[:, :max_length] if chain_memory else mem_tokens
+        # next memory = this segment's tokens cropped to max_length: with
+        # the start id in 'reference' format (reference pads/crops to
+        # max_length), without it in 'train_aligned'
+        if not chain_memory:
+            mem_next = mem_tokens
+        elif memory_format == 'train_aligned':
+            mem_next = tokens[:, 1:max_length + 1]
+        else:
+            mem_next = tokens[:, :max_length]
         return mem_next, tokens
 
-    _, all_tokens = jax.lax.scan(seg_step, initial_memory, enc)
+    xs = (enc, jnp.moveaxis(oracle_memory, 1, 0)) \
+        if oracle_memory is not None else enc
+    _, all_tokens = jax.lax.scan(seg_step, initial_memory, xs)
     return jnp.moveaxis(all_tokens, 0, 1)  # (B, S, max_length + 1)
 
 
