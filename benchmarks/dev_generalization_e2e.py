@@ -60,7 +60,8 @@ def build_corpora(tmp: str, n_train: int, n_heldout: int,
 
 def run_model(name, model, train_root, heldout_root, tmp, max_steps,
               songs_per_batch=96, rows_per_song=1, lr=4e-4,
-              min_steps=6000, with_tier=True, split_frames=2048):
+              min_steps=6000, with_tier=True, split_frames=2048,
+              chunk_steps=None, val_steps=500):
     import jax
     import jax.numpy as jnp
 
@@ -134,11 +135,32 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
     steps_per_epoch = len(train_loader)
     num_epochs = max(1, max_steps // steps_per_epoch)
     t0 = time.time()
-    # epoch loop with val each ~500 steps; manual so we can early-stop
-    val_every = max(1, 500 // steps_per_epoch)
+    # epoch loop with val each ~val_steps steps; manual for early-stop
+    val_every = max(1, val_steps // steps_per_epoch)
     history = []
     best = float('inf')
-    for epoch in range(num_epochs):
+    prior_seconds = 0.0
+    start_epoch = 0
+    # ---- cross-process resume (the axon plugin leaks host RSS at the
+    # batch-upload rate — PERF.md "Platform quirks" — so a 12k-step leg
+    # cannot live in one process; chunk_steps bounds a process's step
+    # budget and the leg resumes exactly, opt state included, in a
+    # fresh one. sys.exit(3) tells the relaunch loop "not done yet".)
+    meta_path = os.path.join(tmp, name, 'resume_meta.json')
+    resume_dir = os.path.join(tmp, name, 'checkpoints', 'resume')
+    if os.path.isdir(resume_dir) and os.path.exists(meta_path):
+        state = trainer.restore_state('resume', like_state=state)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        history = meta['history']
+        best = meta['best']
+        start_epoch = meta['epochs_done']
+        prior_seconds = meta.get('train_seconds', 0.0)
+        print(f'  [{name}] resumed step {int(state.step)} '
+              f'(epoch {start_epoch}, best val {best:.4f})', flush=True)
+    steps_at_entry = int(state.step)
+    stop_file = os.path.join(tmp, name, 'STOP')
+    for epoch in range(start_epoch, num_epochs):
         state = trainer.fit(state, train_loader, val_loader=None,
                             num_epochs=epoch + 1, start_epoch=epoch)
         if (epoch + 1) % val_every == 0 or epoch == num_epochs - 1:
@@ -154,7 +176,15 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                 marker = ' *best'
             print(f'  [{name}] epoch {epoch + 1}/{num_epochs} '
                   f'step {int(state.step)} val_loss {vl:.4f} '
-                  f'({time.time() - t0:.0f}s){marker}', flush=True)
+                  f'({prior_seconds + time.time() - t0:.0f}s){marker}',
+                  flush=True)
+            trainer.save_checkpoint(state, 'resume', with_opt_state=True)
+            meta = {'history': history, 'best': best,
+                    'epochs_done': epoch + 1,
+                    'train_seconds': prior_seconds + time.time() - t0}
+            with open(meta_path + '.tmp', 'w') as f:
+                json.dump(meta, f)
+            os.replace(meta_path + '.tmp', meta_path)
             # stop when the last 4 val points show no 1% improvement
             # over the best before them (overfit guard included: a
             # worsening tail also trips this) — but never before
@@ -166,7 +196,17 @@ def run_model(name, model, train_root, heldout_root, tmp, max_steps,
                     history[:-4]):
                 print(f'  [{name}] val plateau — stopping', flush=True)
                 break
-    train_s = time.time() - t0
+            if os.path.exists(stop_file):
+                print(f'  [{name}] STOP file — ending training, '
+                      'proceeding to eval', flush=True)
+                break
+            if epoch < num_epochs - 1 and chunk_steps and \
+                    int(state.step) - steps_at_entry >= chunk_steps:
+                print(f'  [{name}] chunk budget '
+                      f'({int(state.step) - steps_at_entry} steps this '
+                      'process) — exiting for relaunch', flush=True)
+                sys.exit(3)
+    train_s = prior_seconds + time.time() - t0
     trainer.save_checkpoint(state, 'final', with_opt_state=False)
     best_params, best_step = trainer.restore_params('best')
     state = state.replace(params=jax.device_put(best_params))
@@ -261,6 +301,12 @@ def main():
                     help='reuse/create this workdir instead of a fresh '
                          'tempdir (lets legs run as separate processes '
                          'against one corpus)')
+    ap.add_argument('--chunk-steps', type=int, default=None,
+                    help='max optimizer steps per PROCESS; on reaching '
+                         'it the leg saves a full resume checkpoint and '
+                         'exits with code 3 (relaunch the same command '
+                         'to continue) — works around the dev '
+                         'platform\'s host-RSS upload leak on long runs')
     ap.add_argument('--no-tier', action='store_true',
                     help='skip the probe-ladder tier walk (run it later '
                          'with --tier-only against the saved checkpoint)')
@@ -309,7 +355,8 @@ def main():
                       with_tier=not args.no_tier,
                       split_frames=args.split_frames,
                       songs_per_batch=args.songs_per_batch,
-                      rows_per_song=args.rows_per_song)
+                      rows_per_song=args.rows_per_song,
+                      chunk_steps=args.chunk_steps)
         except Exception:
             import traceback
             traceback.print_exc()
