@@ -262,7 +262,8 @@ def run_tier(name, model, params, heldout_files, heldout_root, tmp,
         model=model, variables={'params': params},
         max_length=1024, quantize='fused_int4',
         contiguous_inference=model.cfg.has_segmem)
-    pinfo = resolve_auto_quantize(handler, verbose=True)
+    pinfo = resolve_auto_quantize(handler, verbose=True,
+                                  with_margins=True)
     tier_scores = get_scores(
         handler=handler, eval_audio_dir=heldout_files,
         eval_dataset='Slakh',
@@ -272,6 +273,7 @@ def run_tier(name, model, params, heldout_files, heldout_root, tmp,
     tier = {'model': name, 'resolved_tier': pinfo['quantize'],
             'probe_flips': pinfo.get('probe_flips'),
             'demotions': pinfo.get('demotions', []),
+            'exact_margins': pinfo.get('exact_margins'),
             'tier_heldout_onset_f1': round(
                 tier_scores.get('Onset F1', 0.0), 4),
             'exact_heldout_onset_f1': exact_f1}

@@ -105,6 +105,89 @@ def quantize_probe(handler, max_length: int = None):
     return int(np.sum(quant != exact)), int(quant.size)
 
 
+def margin_stats(handler, max_length: int = None) -> dict:
+    """Top1-minus-top2 logit margins of the EXACT decode on the probe
+    batch — the measured MECHANISM behind tier demotions.
+
+    The fused tiers re-order bf16 accumulations vs the XLA body, so a
+    decoded token flips when its logit margin is within that numeric
+    noise (~1e-2 of logit scale); a checkpoint demotes because its
+    margins are thin, not because quantization is 'broken' (round 4: the
+    UNQUANTIZED fused_bf16 kernel flipped 68/514 probe tokens on a
+    converged checkpoint — more than int4's 62 — PERF.md). This reports
+    the margin distribution so a demotion comes with its cause.
+
+    Rescoring is teacher-forced on the exact decode's own tokens: the
+    greedy path's per-step distributions are exactly reproduced (same
+    conditioning), one parallel forward instead of a serial loop. For
+    contiguous segmem handlers the carried memory is reconstructed from
+    the decoded tokens in the handler's memory format. Margins use only
+    positions up to each row's EOS. Returns {margin_min, margin_p1,
+    margin_p5, margin_median, tokens, teacher_forced_agreement} (margins
+    in logit units, fp32 stats over the model-dtype forward) or
+    {'error': ...} if the handler has no teacher-forced surface for its
+    decode mode."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = handler.cfg
+    if cfg.segmem_variant == 'decoder_prepend':
+        return {'error': 'decoder_prepend probe margins unsupported'}
+    max_length = (min(handler.max_length, PROBE_MAX_LENGTH)
+                  if max_length is None else max_length)
+    mel = probe_mel(handler)
+    cache = getattr(handler, '_probe_exact_tokens', {})
+    exact = None
+    for toks in cache.values():
+        if toks.shape[1] == max_length + 1:
+            exact = toks
+    if exact is None:
+        exact = _probe_twin(handler, 'none', max_length)._decode_all(mel)
+    tokens = np.asarray(exact)                    # (N, L+1), col 0 start id
+    n = tokens.shape[0]
+
+    kwargs = {}
+    if cfg.segmem_variant == 'encoder_append':
+        # BOTH decode modes chain the probe's segments as one song
+        # (contiguous lockstep, and _decode_segmem_chained's per-batch
+        # chains) — rebuild the memory each segment actually saw from the
+        # decode's own outputs, in the handler's memory format
+        from mr_mt3_tpu.ops.decode import initial_segmem_tokens
+        seed = np.asarray(initial_segmem_tokens(
+            cfg, 1, max_length, codec=handler.codec,
+            vocab=handler.vocab))
+        if handler.segmem_memory_format == 'train_aligned':
+            carried = tokens[:-1, 1:max_length + 1]
+        else:
+            carried = tokens[:-1, :max_length]
+        kwargs['targets_prev'] = jnp.asarray(
+            np.concatenate([seed, carried], axis=0))
+
+    logits = handler.model.apply(
+        handler.variables, jnp.asarray(mel),
+        decoder_input_ids=jnp.asarray(tokens[:, :-1]), **kwargs)
+    top2 = jax.lax.top_k(logits.astype(jnp.float32), 2)[0]
+    margins = np.asarray(top2[..., 0] - top2[..., 1])   # (N, L)
+    greedy = np.asarray(jnp.argmax(logits, axis=-1))
+
+    # valid decode positions: up to and including each row's first EOS
+    targets = tokens[:, 1:]
+    L = targets.shape[1]
+    eos_pos = np.where((targets == cfg.eos_token_id).any(axis=1),
+                       (targets == cfg.eos_token_id).argmax(axis=1), L - 1)
+    valid = np.arange(L)[None, :] <= eos_pos[:, None]
+    m = margins[valid]
+    agree = float((greedy[valid] == targets[valid]).mean())
+    return {
+        'margin_min': round(float(m.min()), 4),
+        'margin_p1': round(float(np.quantile(m, 0.01)), 4),
+        'margin_p5': round(float(np.quantile(m, 0.05)), 4),
+        'margin_median': round(float(np.quantile(m, 0.5)), 4),
+        'tokens': int(m.size),
+        'teacher_forced_agreement': round(agree, 4),
+    }
+
+
 # demotion ladder, top to bottom: int4 megakernel (the TPU serving
 # default — halved streamed bytes on the bandwidth-saturated kernel) ->
 # int8 megakernel -> UNQUANTIZED bf16 megakernel (same launch structure,
@@ -114,7 +197,8 @@ _NEXT_TIER = {'fused_int4': 'fused', 'fused': 'fused_bf16'}
 
 
 def resolve_auto_quantize(handler, verbose: bool = True,
-                          probe_fn=None, confirm_full: bool = True) -> dict:
+                          probe_fn=None, confirm_full: bool = True,
+                          with_margins: bool = False) -> dict:
     """Probe-guard a handler whose quantize mode is set: any token flip —
     or any probe failure — demotes it one tier ('fused_int4' -> 'fused'
     -> 'fused_bf16' -> 'none'; other modes -> 'none') and re-probes until
@@ -138,7 +222,11 @@ def resolve_auto_quantize(handler, verbose: bool = True,
     short ladder probes and probe_fn(handler, max_length=N) for the
     full-length confirm.
     confirm_full=False skips the winner's full-length confirm (callers
-    that only ever decode at or below PROBE_MAX_LENGTH)."""
+    that only ever decode at or below PROBE_MAX_LENGTH).
+    with_margins=True attaches margin_stats() of the exact decode as
+    info['exact_margins'] whenever a flip demotion happened on real
+    weights — the mechanism readout (one extra teacher-forced forward;
+    off by default; callers that stub probe_fn must leave it off)."""
     info = {'quantize': handler.quantize}
     if handler.quantize == 'none':
         return info
@@ -195,4 +283,15 @@ def resolve_auto_quantize(handler, verbose: bool = True,
                 continue
         break
     info['quantize'] = handler.quantize
+    if with_margins and info.get('demotions'):
+        # demotions happened on real weights: attach the margin
+        # distribution of the exact decode so the demotion reports its
+        # mechanism (thin margins vs fused-kernel numeric noise), not
+        # just its fact. Advisory only — never let it break the guard.
+        try:
+            info['exact_margins'] = margin_stats(handler)
+            if verbose:
+                print(f'exact-decode margins: {info["exact_margins"]}')
+        except Exception as e:
+            info['exact_margins'] = {'error': repr(e)[:200]}
     return info

@@ -788,6 +788,58 @@ class TestAutoQuantize:
         assert info['confirm_tokens'] == 39
         assert any('full length' in d for d in info['demotions'])
 
+    def test_margin_stats_vanilla(self):
+        """margin_stats rescoring of the exact decode: margins are
+        top1-minus-top2 (non-negative by construction), only positions
+        up to each row's EOS count, and the teacher-forced agreement is
+        a rate."""
+        from mr_mt3_tpu.infer.probe import margin_stats
+        handler = self._handler('none')
+        stats = margin_stats(handler)
+        assert stats['tokens'] > 0
+        assert stats['tokens'] <= 2 * 12  # <= rows x decode length
+        assert stats['margin_min'] >= 0
+        assert (stats['margin_min'] <= stats['margin_p1']
+                <= stats['margin_p5'] <= stats['margin_median'])
+        assert 0.0 <= stats['teacher_forced_agreement'] <= 1.0
+
+    def test_margin_stats_segmem_reconstructs_chain(self):
+        """For encoder_append handlers the rescoring must rebuild the
+        carried memory from the decode's own outputs (both decode modes
+        chain the probe's segments as one song)."""
+        from mr_mt3_tpu.infer.probe import margin_stats
+        cfg = SMALL.replace(segmem_variant='encoder_append',
+                            segmem_length=8)
+        model = MT3(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 512)),
+                               decoder_input_ids=jnp.zeros((1, 4),
+                                                           jnp.int32))
+        handler = InferenceHandler(model=model, variables=variables,
+                                   max_length=12, batch_size=4,
+                                   contiguous_inference=True)
+        stats = margin_stats(handler)
+        assert stats['tokens'] > 0
+        assert stats['margin_min'] >= 0
+
+    def test_resolve_auto_attaches_margins_on_demotion(self, monkeypatch):
+        """with_margins=True reports the exact decode's margin
+        distribution alongside a flip demotion (the mechanism, not just
+        the fact); default off so stubbed-probe callers pay nothing."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        sentinel = {'margin_min': 0.01, 'tokens': 5}
+        monkeypatch.setattr(probe_mod, 'quantize_probe',
+                            lambda h, **kw: (2, 50))
+        monkeypatch.setattr(probe_mod, 'margin_stats',
+                            lambda h: sentinel)
+        handler = self._handler('fused')
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False,
+                                               with_margins=True)
+        assert info['exact_margins'] is sentinel
+        handler2 = self._handler('fused')
+        info2 = probe_mod.resolve_auto_quantize(handler2, verbose=False)
+        assert 'exact_margins' not in info2
+
     def test_full_length_confirm_failure_demotes(self, monkeypatch):
         """A full-length compile failure (a ceiling the short program
         cannot see) demotes like a probe failure — on EVERY caller of
