@@ -125,8 +125,12 @@ def get_scores(
         from mr_mt3_tpu.infer.probe import resolve_auto_quantize
         info = resolve_auto_quantize(handler, verbose=verbose)
         if verbose:
+            detail = f'probe flips: {info.get("probe_flips", 0)}'
+            if info.get('probe_benign_rows'):
+                detail += (f', all benign at margins <= '
+                           f'{info.get("material_margin")}')
             print(f'eval decode path: quantize={info["quantize"]!r} '
-                  f'(probe flips: {info.get("probe_flips", 0)})')
+                  f'({detail})')
     if handler.mesh is not None:
         # in lockstep (contiguous) mode each chip carries whole songs;
         # fewer songs per batch than chips would idle the surplus

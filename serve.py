@@ -89,33 +89,39 @@ def build_handler(argv):
         mesh=mesh)
 
 
-def quantize_probe(handler, max_length=None):
+def quantize_probe(handler, max_length=None, **kw):
     """Decode a probe batch through the handler's quantized path AND an
-    exact-bf16 twin; return (flipped_tokens, total_tokens). max_length
-    is passed by the ladder's full-length winner confirm (None = the
-    short ladder length).
+    exact-bf16 twin; return (flipped_tokens, total_tokens) — or, when
+    the ladder asks for classify=True, the classified dict (material vs
+    benign first-flips). max_length is passed by the ladder's
+    full-length winner confirm (None = the short ladder length).
 
     Library home: mr_mt3_tpu.infer.probe (shared with eval's
     quantize='auto'); re-exported here so tests/operators can
     monkeypatch the serving entry point."""
     from mr_mt3_tpu.infer.probe import quantize_probe as _probe
     if max_length is None:
-        return _probe(handler)
-    return _probe(handler, max_length=max_length)
+        return _probe(handler, **kw)
+    return _probe(handler, max_length=max_length, **kw)
 
 
 def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
     """Pre-traffic safety + latency work; returns an info dict for /healthz.
 
     1. quantize guard: with a quantized decode path, decode a probe batch
-       quantized AND exact; ANY token flip (or probe failure) demotes one
+       quantized AND exact; a MATERIAL token flip (one whose first
+       divergence sits at a logit margin numeric noise cannot cross —
+       infer/probe.classify_flips) or any probe failure demotes one
        tier with a logged warning — 'fused' (int8) falls back to
        'fused_bf16' (the unquantized megakernel) and only then to the
-       exact XLA body (the within-0.001-F1 bar beats quantized decode
-       speed). The demotion policy lives in
+       exact XLA body. Benign near-tie flips (bf16 reassociation
+       resolving a coin-flip logit the other way; measured F1-neutral —
+       PERF.md) keep the tier and are reported in /healthz. The
+       demotion policy lives in
        mr_mt3_tpu.infer.probe.resolve_auto_quantize (shared with eval's
-       quantize='auto'); serve.quantize_probe stays the monkeypatchable
-       probing entry point.
+       quantize='auto'; demote_on='any' restores strict
+       exact-token-match serving); serve.quantize_probe stays the
+       monkeypatchable probing entry point.
     2. prewarm: compile-and-run the serving decode program so the first
        request does not pay the 100-320 s program startup (PERF.md).
 
@@ -139,8 +145,7 @@ def prepare_handler(handler, probe: bool = True, prewarm: bool = True):
         handler._invalidate_compiled()
         # the recorded probe counts belong to the tier we just left —
         # /healthz must not present them as evidence for the new one
-        for k in ('probe_flips', 'probe_tokens', 'probe_tier',
-                  'confirm_flips', 'confirm_tokens', 'probe_error'):
+        for k in probe_mod.PROBE_INFO_KEYS:
             info.pop(k, None)
 
     info = {'quantize': handler.quantize, 'prewarmed': False}

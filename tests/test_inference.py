@@ -927,6 +927,131 @@ class TestAutoQuantize:
         assert handler.quantize == 'none'
         assert 'compile failed' in info['probe_error']
 
+    def test_material_flip_demotes_benign_does_not(self, monkeypatch):
+        """demote_on='material' (default): a first-flip above the noise
+        ceiling demotes; a tier whose flips are all near-tie benign
+        keeps its slot, with the benign counts recorded for /healthz."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused_int4')
+
+        def probe(h, max_length=None, classify=False):
+            assert classify  # the default policy must request it
+            if h.quantize == 'fused_int4':
+                return {'flips': 5, 'total': 50, 'material_rows': 1,
+                        'benign_rows': 1, 'downstream_rows': 0,
+                        'rows': 2, 'material_margin': 0.01,
+                        'margin_noise': 0.002,
+                        'first_flip_margins': [0.5, 0.001]}
+            return {'flips': 3, 'total': 50, 'material_rows': 0,
+                    'benign_rows': 2, 'downstream_rows': 0, 'rows': 2,
+                    'material_margin': 0.01, 'margin_noise': 0.002,
+                    'first_flip_margins': [0.004, 0.001]}
+        monkeypatch.setattr(probe_mod, 'quantize_probe', probe)
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False,
+                                               confirm_full=False)
+        assert handler.quantize == 'fused'
+        assert info['quantize'] == 'fused'
+        assert info['probe_flips'] == 3
+        assert info['probe_material_rows'] == 0
+        assert info['probe_benign_rows'] == 2
+        assert info['first_flip_margins'] == [0.004, 0.001]
+        assert len(info['demotions']) == 1
+        assert 'material' in info['demotions'][0]
+
+    def test_demote_on_any_is_strict(self, monkeypatch):
+        """demote_on='any' restores the round-2 exact-token-match
+        policy: benign-classified flips still demote (and the probe is
+        never asked to classify)."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+
+        def probe(h, max_length=None, **kw):
+            assert not kw.get('classify')
+            return (2, 50)
+        monkeypatch.setattr(probe_mod, 'quantize_probe', probe)
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False,
+                                               demote_on='any')
+        assert handler.quantize == 'none'
+        assert len(info['demotions']) == 2
+
+    def test_classify_error_falls_back_to_strict(self, monkeypatch):
+        """A probe dict without classification (classify_flips raised)
+        must degrade to the strict policy — every flip material — never
+        to keeping a flipping tier on missing evidence."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused_bf16')
+        monkeypatch.setattr(
+            probe_mod, 'quantize_probe',
+            lambda h, max_length=None, classify=False:
+            {'flips': 2, 'total': 50, 'classify_error': 'boom'})
+        info = probe_mod.resolve_auto_quantize(handler, verbose=False)
+        assert handler.quantize == 'none'
+        assert len(info['demotions']) == 1
+
+    def test_legacy_tuple_probe_fn_is_strict(self, monkeypatch):
+        """probe_fn callables that know nothing of classification (the
+        pre-round-5 signature) keep the strict any-flip semantics."""
+        import mr_mt3_tpu.infer.probe as probe_mod
+        handler = self._handler('fused')
+        info = probe_mod.resolve_auto_quantize(
+            handler, verbose=False, probe_fn=lambda h: (1, 50),
+            confirm_full=False)
+        assert handler.quantize == 'none'
+        assert len(info['demotions']) == 2
+
+    def test_quantize_probe_classify_real_model(self):
+        """classify=True on the real probe returns the dict form; if the
+        tiny model flips at all, every diverged row is accounted for in
+        exactly one bucket and the threshold respects the floor."""
+        from mr_mt3_tpu.infer import probe as probe_mod
+        handler = self._handler('fused')
+        res = probe_mod.quantize_probe(handler, classify=True)
+        assert isinstance(res, dict)
+        assert res['total'] == 2 * (12 + 1)
+        if res['flips']:
+            assert 'classify_error' not in res
+            assert (res['material_rows'] + res['benign_rows']
+                    + res['downstream_rows']) >= 1
+            assert (res['material_margin']
+                    >= probe_mod.MATERIAL_MARGIN_FLOOR)
+            assert res['margin_noise'] >= 0
+
+    def test_classify_flips_chained_downstream_rows(self):
+        """In contiguous segmem mode the probe rows form ONE chain:
+        rows after the first diverged row condition on a different
+        memory and must be excluded (downstream), not classified."""
+        import numpy as np
+
+        from mr_mt3_tpu.infer import probe as probe_mod
+        handler = _segmem_handler(max_length=12, batch_size=4,
+                                  contiguous_inference=True)
+        mel = probe_mod.probe_mel(handler)
+        exact = probe_mod._probe_twin(handler, 'none', 12)._decode_all(mel)
+        quant = np.array(exact)
+        quant[0, 3] ^= 1   # first flip in row 0 -> row 1 is downstream
+        quant[1, 2] ^= 1
+        out = probe_mod.classify_flips(handler, quant, exact, mel)
+        assert out['downstream_rows'] == 1
+        assert out['material_rows'] + out['benign_rows'] == 1
+        assert len(out['first_flip_margins']) == 1
+
+    def test_classify_flips_vanilla_rows_independent(self):
+        """Vanilla rows are independent decodes: every diverged row gets
+        its own first-flip classification."""
+        import numpy as np
+
+        from mr_mt3_tpu.infer import probe as probe_mod
+        handler = self._handler('none')
+        mel = probe_mod.probe_mel(handler)
+        exact = probe_mod._probe_twin(handler, 'none', 12)._decode_all(mel)
+        quant = np.array(exact)
+        quant[0, 3] ^= 1
+        quant[1, 2] ^= 1
+        out = probe_mod.classify_flips(handler, quant, exact, mel)
+        assert out['downstream_rows'] == 0
+        assert out['material_rows'] + out['benign_rows'] == 2
+        assert len(out['first_flip_margins']) == 2
+
     def test_serve_build_handler_accepts_auto(self):
         """eval.quantize=auto through serve.py resolves like eval does
         (exact bf16 off-TPU) instead of crashing at the first decode."""
