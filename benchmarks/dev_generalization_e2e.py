@@ -258,10 +258,19 @@ def run_tier(name, model, params, heldout_files, heldout_root, tmp,
     from mr_mt3_tpu.infer import InferenceHandler
     from mr_mt3_tpu.infer.probe import resolve_auto_quantize
     from mr_mt3_tpu.infer.scores import get_scores
-    handler = InferenceHandler(
-        model=model, variables={'params': params},
-        max_length=1024, quantize='fused_int4',
-        contiguous_inference=model.cfg.has_segmem)
+
+    def fresh_handler():
+        return InferenceHandler(
+            model=model, variables={'params': params},
+            max_length=1024, quantize='fused_int4',
+            contiguous_inference=model.cfg.has_segmem)
+
+    # strict (round-2 'any flip demotes') resolution first, for the
+    # policy comparison the margin-aware default is judged against
+    strict_handler = fresh_handler()
+    pinfo_strict = resolve_auto_quantize(strict_handler, verbose=True,
+                                         demote_on='any')
+    handler = fresh_handler()
     pinfo = resolve_auto_quantize(handler, verbose=True,
                                   with_margins=True)
     tier_scores = get_scores(
@@ -271,7 +280,15 @@ def run_tier(name, model, params, heldout_files, heldout_root, tmp,
         ground_truth_midi_dir=heldout_root,
         max_length=1024, verbose=False)
     tier = {'model': name, 'resolved_tier': pinfo['quantize'],
+            'strict_resolved_tier': pinfo_strict['quantize'],
+            'strict_demotions': pinfo_strict.get('demotions', []),
             'probe_flips': pinfo.get('probe_flips'),
+            'probe_material_rows': pinfo.get('probe_material_rows'),
+            'probe_benign_rows': pinfo.get('probe_benign_rows'),
+            'material_margin': pinfo.get('material_margin'),
+            'margin_noise': pinfo.get('margin_noise'),
+            'first_flip_margins': pinfo.get('first_flip_margins'),
+            'confirm_flips': pinfo.get('confirm_flips'),
             'demotions': pinfo.get('demotions', []),
             'exact_margins': pinfo.get('exact_margins'),
             'tier_heldout_onset_f1': round(
