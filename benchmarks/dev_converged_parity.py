@@ -63,10 +63,15 @@ def main():
     from mr_mt3_tpu.infer import InferenceHandler
     from mr_mt3_tpu.models import MT3, MT3Config
 
-    ckpt_path = os.path.join(args.workdir, args.model, 'checkpoints',
-                             args.ckpt)
-    restored = ocp.StandardCheckpointer().restore(ckpt_path)
-    params, step = restored['params'], int(restored['step'])
+    ckpt_path = os.path.join(os.path.abspath(args.workdir), args.model,
+                             'checkpoints', args.ckpt)
+    # host-numpy restore: the default orbax restore re-applies the
+    # sharding saved at write time, which breaks when the checkpoint was
+    # written on the TPU and this comparison runs --cpu
+    from mr_mt3_tpu.utils.builders import load_weights
+    from mr_mt3_tpu.models import MT3 as _MT3
+    params, step = load_weights(
+        ckpt_path, _MT3(MT3Config(dtype='float32', dropout_rate=0.0)))
     print(f'checkpoint: {ckpt_path} (step {step})', flush=True)
 
     files = sorted(glob.glob(
