@@ -356,7 +356,8 @@ def main():
                             segmem_length=64)
         if args.tier_only:
             import orbax.checkpoint as ocp
-            path = os.path.join(tmp, name, 'checkpoints', 'best')
+            path = os.path.join(os.path.abspath(tmp), name,
+                                'checkpoints', 'best')
             restored = ocp.StandardCheckpointer().restore(path)
             print(f'[{name}] tier-only: restored step '
                   f'{int(restored["step"])} from {path}', flush=True)
